@@ -6,31 +6,33 @@ TPU rebuild of ``RayTrace::create_image`` (src/RayTraceImage.cpp:227-434):
 * limits + uniform-grid validation (RayTraceImage.cpp:229-264)
 * ray-list generation with the N_start/N_parallel stride-decomposition
   contract (RayTraceImage.cpp:277-328)
-* method dispatch -> backend registry {"lax", "pallas", ...} instead of the
-  reference's compile-time backend zoo (cpu/threads/OpenMP/Cuda/...)
+* method dispatch -> backend registry {"lax", "lax-exact", "pallas"} instead
+  of the reference's compile-time backend zoo (cpu/threads/OpenMP/Cuda/...)
 * per-ray failure codes -> bitmask -> failed-ray dump -> abort
   (RayTraceImage.cpp:427-430)
 
 Execution model: rays are processed in fixed-size chunks by one jitted
 pipeline (trace -> seed -> amplify -> bin) whose partial images accumulate on
-device in float64. Chunking bounds both memory ([B, K] spectra) and the
-divergence of the batched while loops.
+device in float64. Pipelines are cached process-wide by their static
+configuration, so repeated ``create_image`` calls (the benchmark protocol)
+pay compilation once -- the analogue of the reference's GPU warmup fixture
+(src/CreateImage.cpp:118-132).
 """
 
 from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from raytrace_tpu.models.problem import (
-    DeviceBeam, DeviceGain, DeviceSeed, prepare_beam, prepare_gain, prepare_seed,
+    DeviceBeam, DeviceGain, prepare_beam, prepare_gain, prepare_seed,
 )
-from raytrace_tpu.ops import binning, seed as seed_ops, spectrum, stepper
+from raytrace_tpu.ops import binning, fast_stepper, seed as seed_ops, spectrum, stepper
 from raytrace_tpu.structures import CreateImageProblem
 from raytrace_tpu.utils import errors as err_util
 from raytrace_tpu.utils.timer import profiler
@@ -40,9 +42,11 @@ __all__ = ["create_image", "generate_ray_indices", "BACKENDS", "N_MAX", "K_MAX"]
 N_MAX = 20   # max length segments (RayTraceImageHelper.h:29)
 K_MAX = 100  # max frequencies (RayTraceImageHelper.h:30)
 
-#: backend registry: name -> chunk-pipeline factory. Populated below and by
-#: raytrace_tpu.ops.pallas_kernel at import time.
+#: backend registry: name -> pipeline factory(cfg) -> jitted chunk fn.
 BACKENDS: dict[str, Callable] = {}
+
+#: process-wide cache of compiled pipelines, keyed by static config
+_PIPELINE_CACHE: dict = {}
 
 
 def _check_grid(n: int, d: float, grid: np.ndarray) -> bool:
@@ -75,13 +79,19 @@ def _unflatten_rays(ijkm, dims):
     return i.astype(jnp.int32), j.astype(jnp.int32), k.astype(jnp.int32), m.astype(jnp.int32)
 
 
-def _lax_chunk_pipeline(N: int, dz: float, K: int, method: int, use_emis: bool,
-                        dims: tuple, scale: float, spectrum_dtype, c: float = 0.5):
-    """Build the jitted per-chunk pipeline for the lax backend."""
+def _make_pipeline(cfg: dict, trace_fn):
+    """Build the jitted per-chunk pipeline around a trace function."""
+    N = cfg["N"]
+    K = cfg["K"]
+    method = cfg["method"]
+    use_emis = cfg["use_emis"]
+    dims = cfg["dims"]
+    scale = cfg["scale"]
+    spectrum_dtype = jnp.dtype(cfg["spectrum_dtype"])
 
-    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
-    def run_chunk(image_acc, iang_acc, ijkm, valid, ray_grids, gain: DeviceGain,
-                  dseed, beam: DeviceBeam):
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def run_chunk(image_acc, iang_acc, fail_acc, ijkm, valid, ray_grids,
+                  trace_tables, gain_dev, dseed, beam):
         i, j, k, m = _unflatten_rays(ijkm, dims)
         gx, gy, ga, gb = ray_grids
         rays = {
@@ -90,7 +100,7 @@ def _lax_chunk_pipeline(N: int, dz: float, K: int, method: int, use_emis: bool,
             "a": ga[k].astype(jnp.float32),
             "b": gb[m].astype(jnp.float32),
         }
-        res = stepper.trace_batch(rays, N, dz, gain, method, c=c, use_emis=use_emis)
+        res = trace_fn(rays, trace_tables)
         B = ijkm.shape[0]
         if dseed is None:
             Iv0 = jnp.zeros((B, K), dtype=spectrum_dtype)
@@ -101,32 +111,72 @@ def _lax_chunk_pipeline(N: int, dz: float, K: int, method: int, use_emis: bool,
             else:
                 sx, sy, sa, sb = rays["x"], rays["y"], rays["a"], rays["b"]
             Iv0 = seed_ops.calc_seed_batch(dseed, sx, sy, sa, sb, K)
-            # escaped rays carry no seed (RayTraceImageHelper.h:523)
             Iv0 = jnp.where(res.escaped[:, None], 0.0, Iv0).astype(spectrum_dtype)
-        Iv = spectrum.amplify(res, Iv0, gain, N, use_emis, dtype=spectrum_dtype)
-        # failure taxonomy (RayTraceImageHelper.h:514-594)
+        Iv = spectrum.amplify(res, Iv0, gain_dev, N, use_emis,
+                              dtype=spectrum_dtype)
         neg = jnp.any(Iv < 0.0, axis=1)
         nan = jnp.any(Iv != Iv, axis=1)
         code = jnp.where(res.perp, -1, jnp.where(neg, -2, jnp.where(nan, -3, 0)))
         code = jnp.where(valid, code, 0).astype(jnp.int32)
         ok = valid & (code == 0)
         img_p, ang_p = binning.bin_images(Iv, res, rays, beam, method, scale, ok)
-        failure_bits = (
+        fail_bits = (
             jnp.where(jnp.any(code == -1), jnp.uint32(1 << 1), jnp.uint32(0))
             | jnp.where(jnp.any(code == -2), jnp.uint32(1 << 2), jnp.uint32(0))
             | jnp.where(jnp.any(code == -3), jnp.uint32(1 << 3), jnp.uint32(0))
         )
-        return image_acc + img_p, iang_acc + ang_p, failure_bits, code
+        return image_acc + img_p, iang_acc + ang_p, fail_acc | fail_bits, code
 
     return run_chunk
 
 
-BACKENDS["lax"] = _lax_chunk_pipeline
+def _lax_exact_factory(cfg):
+    """Reference-parity backend: exact f64 grid tables + bisection searches
+    (ops/stepper.py). Handles non-uniform gain grids."""
+    N, dz, c = cfg["N"], cfg["dz"], cfg["c"]
+    method, use_emis = cfg["method"], cfg["use_emis"]
+
+    def trace_fn(rays, tables):
+        return stepper.trace_batch(rays, N, dz, tables, method, c=c,
+                                   use_emis=use_emis)
+
+    return _make_pipeline(cfg, trace_fn)
+
+
+def _lax_fast_factory(cfg):
+    """Fast backend: one-hot MXU table fetch + uniform-grid arithmetic
+    (ops/fast_stepper.py). ``cfg['fast_meta']`` carries the static geometry."""
+    N, dz, c = cfg["N"], cfg["dz"], cfg["c"]
+    method, use_emis = cfg["method"], cfg["use_emis"]
+    meta, nch, nyc = cfg["fast_meta"]
+
+    def trace_fn(rays, tx):
+        ft = fast_stepper.FastTables(tx=tx, meta=meta, nch=nch, ny_cells=nyc)
+        return fast_stepper.trace_batch_fast(rays, N, dz, ft, method, c=c,
+                                             use_emis=use_emis)
+
+    return _make_pipeline(cfg, trace_fn)
+
+
+BACKENDS["lax-exact"] = _lax_exact_factory
+BACKENDS["lax"] = _lax_fast_factory
+
+
+def _resolve_backend(name: str, uniform: bool) -> str:
+    name = name.lower()
+    if name == "auto":
+        name = "lax" if uniform else "lax-exact"
+    if name == "lax" and not uniform:
+        name = "lax-exact"
+    if name not in BACKENDS:
+        raise err_util.RayTraceError(f"Unknown method: {name}")
+    return name
 
 
 def create_image(problem: CreateImageProblem, compute_method: str = "auto",
-                 chunk_size: int = 131072, spectrum_dtype=jnp.float64,
-                 devices=None, failed_ray_path: str = "Failed_RayTrace_rays.dat",
+                 chunk_size: int = 524288, spectrum_dtype=jnp.float64,
+                 c: float = 0.5,
+                 failed_ray_path: str = "Failed_RayTrace_rays.dat",
                  ) -> tuple[np.ndarray, np.ndarray]:
     """Compute the near-field image and far-field angular image.
 
@@ -141,9 +191,8 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     profiler.start("create_image")
 
     beam = problem.euv_beam
-    # uniform-grid validation (RayTraceImage.cpp:243-264)
-    for g, d, nm in ((beam.x, beam.dx, "x"), (beam.y, beam.dy, "y"),
-                     (beam.a, beam.da, "a"), (beam.b, beam.db, "b")):
+    for g, d in ((beam.x, beam.dx), (beam.y, beam.dy),
+                 (beam.a, beam.da), (beam.b, beam.db)):
         if _check_grid(len(g), d, g):
             raise err_util.RayTraceError(
                 "Only uniform grid spacings are currently supported (euv_beam)")
@@ -157,7 +206,6 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
             raise err_util.RayTraceError(
                 "Negitive y positions in seed_beam or euv_beam, but not both")
 
-    # method + scale selection (RayTraceImage.cpp:277-299)
     if problem.seed is not None:
         method = 2
         src = problem.seed_beam
@@ -170,21 +218,24 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         timer_name = "propagate_ASE"
     dims = (src.nx, src.ny, src.na, src.nb)
 
-    compute_method = compute_method.lower()
-    if compute_method == "auto":
-        compute_method = "lax"
-    if compute_method not in BACKENDS:
-        raise err_util.RayTraceError(f"Unknown method: {compute_method}")
-    timer_name += "-" + compute_method
-
     use_emis = problem.gain[0].E0 is not None and problem.seed is None
+    uniform = fast_stepper.is_uniform(problem.gain)
+    backend = _resolve_backend(compute_method, uniform)
+    timer_name += "-" + backend
     K = beam.nv
     nx, ny, na, nb = beam.nx, beam.ny, beam.na, beam.nb
 
-    # host -> device conversion of the problem tables. This is inside the
-    # timed region on purpose: the reference re-uploads per call because the
+    # host -> device conversion of the problem tables. Inside the timed
+    # region on purpose: the reference re-uploads per call because the
     # production gain tables change every iteration (Readme.txt:43).
-    gain_dev = prepare_gain(problem.gain)
+    if backend == "lax":
+        ft = fast_stepper.pack_fast_tables(problem.gain, use_emis)
+        trace_tables = ft.tx
+        fast_meta = (ft.meta, ft.nch, ft.ny_cells)
+    else:
+        trace_tables = prepare_gain(problem.gain)
+        fast_meta = None
+    gain_dev = prepare_gain(problem.gain) if backend == "lax" else trace_tables
     beam_dev = prepare_beam(beam)
     seed_dev = prepare_seed(problem.seed) if problem.seed is not None else None
     ray_grids = (
@@ -198,14 +249,21 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     B_total = len(ijkm_all)
     chunk = min(chunk_size, max(B_total, 1))
 
-    pipeline = BACKENDS[compute_method](
-        N=problem.N, dz=beam.dz, K=K, method=method, use_emis=use_emis,
-        dims=dims, scale=scale, spectrum_dtype=spectrum_dtype)
+    cfg_key = (backend, problem.N, float(beam.dz), K, method, use_emis, dims,
+               float(scale), str(jnp.dtype(spectrum_dtype)), float(c), chunk,
+               fast_meta)
+    if cfg_key not in _PIPELINE_CACHE:
+        cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
+                   use_emis=use_emis, dims=dims, scale=float(scale),
+                   spectrum_dtype=spectrum_dtype, c=float(c),
+                   fast_meta=fast_meta)
+        _PIPELINE_CACHE[cfg_key] = BACKENDS[backend](cfg)
+    pipeline = _PIPELINE_CACHE[cfg_key]
 
     image = jnp.zeros((nx * ny, K), dtype=jnp.float64)
     i_ang = jnp.zeros((na * nb,), dtype=jnp.float64)
-    failure_bits = np.uint32(0)
-    failed_rays: list[np.ndarray] = []
+    fail_acc = jnp.uint32(0)
+    codes_per_chunk = []
 
     profiler.start(timer_name)
     n_chunks = math.ceil(B_total / chunk) if B_total else 0
@@ -216,32 +274,34 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         idx[: hi - lo] = ijkm_all[lo:hi]
         valid = np.zeros(chunk, dtype=bool)
         valid[: hi - lo] = True
-        image, i_ang, fb, codes = pipeline(
-            image, i_ang, jnp.asarray(idx), jnp.asarray(valid),
-            ray_grids, gain_dev, seed_dev, beam_dev)
-        fb = np.uint32(fb)
-        if fb != 0:
-            failure_bits |= fb
-            codes = np.asarray(codes)
-            bad = np.nonzero(codes < 0)[0]
-            for bidx in bad[: err_util.N_FAILED_MAX]:
-                gi, gj, gk, gm = np.asarray(_unflatten_rays(idx[bidx], dims))
-                failed_rays.append(np.array(
-                    [src.x[gi], src.y[gj], src.a[gk], src.b[gm]], np.float32))
+        image, i_ang, fail_acc, codes = pipeline(
+            image, i_ang, fail_acc, jnp.asarray(idx), jnp.asarray(valid),
+            ray_grids, trace_tables, gain_dev, seed_dev, beam_dev)
+        codes_per_chunk.append((idx, codes))
     image.block_until_ready()
+    fail_bits = int(fail_acc)
     profiler.stop(timer_name)
 
     # failure path (RayTraceImage.cpp:427-430)
-    if failure_bits != 0:
-        for msg in err_util.failure_messages(int(failure_bits)):
+    if fail_bits != 0:
+        failed_rays = []
+        for idx, codes in codes_per_chunk:
+            codes = np.asarray(codes)
+            for bidx in np.nonzero(codes < 0)[0][: err_util.N_FAILED_MAX]:
+                gi, gj, gk, gm = (np.asarray(v) for v in _unflatten_rays(
+                    jnp.asarray(idx[bidx]), dims))
+                failed_rays.append(np.array(
+                    [src.x[gi], src.y[gj], src.a[gk], src.b[gm]], np.float32))
+                if len(failed_rays) >= err_util.N_FAILED_MAX:
+                    break
+        for msg in err_util.failure_messages(fail_bits):
             print(msg)
-        err_util.write_failures(failed_ray_path, int(failure_bits),
+        err_util.write_failures(failed_ray_path, fail_bits,
                                 np.array(failed_rays), method, problem.N,
                                 beam.dz, problem.gain)
         profiler.stop("create_image")
         raise err_util.RayTraceError("Some rays failed")
 
-    # to reference layouts: image[nv*(i1+i2*nx)+iv] (cell-major rows of K)
     image_np = np.asarray(image, dtype=np.float64).reshape(-1)
     i_ang_np = np.asarray(i_ang, dtype=np.float64)
     problem.image = image_np

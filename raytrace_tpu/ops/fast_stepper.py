@@ -1,0 +1,304 @@
+"""Fast XLA stepper: one-hot MXU table fetch + uniform-grid arithmetic.
+
+Performance analysis on TPU v5e (see SURVEY.md section 7 risks; measured in
+this repo's round-1 work):
+
+* per-lane random table access ("gather") is scalar-serialized on TPU --
+  ~3 ms per [400k] gather round regardless of packing, and Mosaic's
+  ``tpu.dynamic_gather`` is even slower on this stack;
+* a factorized one-hot matmul fetch runs on the MXU at ~0.3 ms per round:
+  build ``onehot_x[B, 128]`` from the x-cell index (iota compare), matmul
+  against the channel table ``Tx[128, ny*NCH]``, then contract the y rows
+  with an elementwise one-hot -- XLA fuses the epilogue.
+
+This stepper is numerically equivalent to :mod:`raytrace_tpu.ops.stepper`
+(the exact-table variant) up to float32 ulp-level differences: cell indices
+come from uniform-grid arithmetic instead of bisection and grid coordinates
+are reconstructed as ``x0 + k*dx`` in f32. Those perturbations are the same
+class as XLA's FMA contraction and wash out under the reference's norm-based
+5e-6 golden gate (validated against the reference binary's computed images).
+
+Requires uniform gain grids (the shipped production snapshots are uniform;
+:mod:`raytrace_tpu.ops.stepper` handles the general case).
+
+Channel layout in ``Tx[N, 128, ny_cells * NCH]`` (host f64 -> f32):
+  0-3   bilinear coefficients of n:  a, b, c, d  with
+        n0 = a + b*dxi + c*dyi + d*dxi*dyi   (expanded corner form)
+  4-5   gx1, gxd   (d n/dx edge gradients: dndx = gx1 + dyi*gxd)
+  6-7   gy1, gyd
+  8-11  g0 corner values g1, g2, g3, g4 (bilinear like the reference)
+  12-15 E0 corners (ASE only)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raytrace_tpu.ops.stepper import TraceResult, _Ray, _propagate_loop, N_SUB
+from raytrace_tpu.structures import RayGain
+
+__all__ = ["FastTables", "pack_fast_tables", "trace_batch_fast", "is_uniform"]
+
+f32 = jnp.float32
+XPAD = 128  # one-hot width; requires Nx-1 <= 128 x-cells
+
+
+class FastTables(NamedTuple):
+    """Device tables + hashable static geometry for the fast stepper."""
+
+    tx: jax.Array        # [N, XPAD, ny_cells*NCH] f32 channel tables (x-major)
+    meta: tuple          # static: per-seg (x0, dxc, y0, dyc, nx, ny, absy, r4)
+    nch: int
+    ny_cells: int
+
+
+def is_uniform(gains: list[RayGain], tol: float = 1e-9) -> bool:
+    for g in gains:
+        for grid in (np.asarray(g.x), np.asarray(g.y)):
+            d = np.diff(grid)
+            if np.ptp(d) > tol * np.abs(d).mean():
+                return False
+        if g.Nx - 1 > XPAD:
+            return False
+    return True
+
+
+def pack_fast_tables(gains: list[RayGain], use_emis: bool) -> FastTables:
+    """Host-precompute the channel tables (f64 -> one f32 rounding)."""
+    N = len(gains)
+    nch = 16 if use_emis else 12
+    nyc = max(g.Ny - 1 for g in gains)
+    tx = np.zeros((N, XPAD, nyc * nch), dtype=np.float32)
+    meta = []
+    for s, g in enumerate(gains):
+        Nx, Ny = g.Nx, g.Ny
+        x = np.asarray(g.x, np.float64)
+        y = np.asarray(g.y, np.float64)
+        dxc = float(np.diff(x).mean())
+        dyc = float(np.diff(y).mean())
+        n = np.asarray(g.n, np.float64).reshape(Ny, Nx)
+        g0 = np.asarray(g.g0, np.float64).reshape(Ny, Nx)
+        E0 = (np.asarray(g.E0, np.float64).reshape(Ny, Nx)
+              if g.E0 is not None else np.zeros((Ny, Nx)))
+        gx = (n[:, 1:] - n[:, :-1]) / np.diff(x)[None, :]
+        gy = (n[1:, :] - n[:-1, :]) / np.diff(y)[:, None]
+
+        def corners(t):
+            return t[:-1, :-1], t[:-1, 1:], t[1:, :-1], t[1:, 1:]
+
+        n1, n2, n3, n4 = corners(n)
+        chans = [
+            n1,                       # a
+            n2 - n1,                  # b
+            n3 - n1,                  # c
+            n4 - n3 - n2 + n1,        # d
+            gx[:-1, :], gx[1:, :] - gx[:-1, :],
+            gy[:, :-1], gy[:, 1:] - gy[:, :-1],
+        ]
+        chans += list(corners(g0))
+        if use_emis:
+            chans += list(corners(E0))
+        for c, t in enumerate(chans):
+            # t: [Ny-1, Nx-1] -> tx[s, x, j*nch + c]
+            tx[s, : Nx - 1, c::nch][:, : Ny - 1] = t.T.astype(np.float32)
+        r0, r1 = np.float32(x[0]), np.float32(x[-1])
+        r2, r3 = np.float32(y[0]), np.float32(y[-1])
+        absy = bool(r2 >= 0)
+        if absy:
+            r2 = np.float32(-r3)
+        meta.append((float(x[0]), dxc, float(y[0]), dyc, Nx, Ny, absy,
+                     (float(r0), float(r1), float(r2), float(r3))))
+    return FastTables(tx=jnp.asarray(tx), meta=tuple(meta), nch=nch,
+                      ny_cells=nyc)
+
+
+def _cell_walk_fast(seg_idx: int, ft: FastTables, st0, z_stop: float,
+                    c: float, use_emis: bool):
+    """Batched cell-walk with one-hot MXU fetch (mirrors stepper._cell_walk)."""
+    x0_, dxc_, y0_, dyc_, nx_t, ny_t, absy, r4 = ft.meta[seg_idx]
+    x0 = f32(np.float32(x0_))
+    dxc = f32(np.float32(dxc_))
+    inv_dx = f32(np.float32(1.0) / np.float32(dxc_))
+    y0 = f32(np.float32(y0_))
+    dyc = f32(np.float32(dyc_))
+    inv_dy = f32(np.float32(1.0) / np.float32(dyc_))
+    r0, r1, r2, r3 = (f32(np.float32(v)) for v in r4)
+    nch = ft.nch
+    nyc = ft.ny_cells
+    tx = ft.tx[seg_idx]  # [XPAD, nyc*nch]
+    z_stop995 = f32(np.float32(0.995) * np.float32(z_stop))
+
+    def l0_cond(st):
+        return jnp.any(~st["fin"])
+
+    def l0_body(st):
+        p_x, p_y = st["px"], st["py"]
+        s_x, s_y, s_z = st["sx"], st["sy"], st["sz"]
+        act = ~st["fin"]
+        esc_now = act & ((p_x < r0) | (p_x > r1) | (p_y < r2) | (p_y > r3)
+                         | (s_z * s_z < f32(0.01)))
+        esc = st["esc"] | esc_now
+        work = act & ~esc_now
+
+        y_eff = jnp.where(absy, jnp.abs(p_y), p_y)
+        qx = (p_x - x0) * inv_dx
+        qy = (y_eff - y0) * inv_dy
+        k1m1 = jnp.clip(jnp.ceil(qx).astype(jnp.int32) - 1, 0, nx_t - 2)
+        k2m1 = jnp.clip(jnp.ceil(qy).astype(jnp.int32) - 1, 0, ny_t - 2)
+
+        # ---- one-hot MXU fetch of all cell channels -----------------------
+        B = p_x.shape[0]
+        oh_x = (jax.lax.broadcasted_iota(jnp.int32, (B, XPAD), 1)
+                == k1m1[:, None]).astype(jnp.float32)
+        # Precision.HIGHEST: the default f32 matmul runs in bf16 on the MXU,
+        # which would round the fetched table values (~1e-3 relative); the
+        # one-hot fetch must return exact f32 channel values
+        M = jax.lax.dot_general(oh_x, tx, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+        M = M.reshape(B, nyc, nch)
+        oh_y = (jax.lax.broadcasted_iota(jnp.int32, (B, nyc), 1)
+                == k2m1[:, None]).astype(jnp.float32)
+        vals = jnp.sum(M * oh_y[:, :, None], axis=1)  # [B, nch]
+        na_, nb_, nc_, nd_ = vals[:, 0], vals[:, 1], vals[:, 2], vals[:, 3]
+        gx1, gxd = vals[:, 4], vals[:, 5]
+        gy1, gyd = vals[:, 6], vals[:, 7]
+
+        xlo = x0 + k1m1.astype(f32) * dxc
+        ylo = y0 + k2m1.astype(f32) * dyc
+        dxi = (p_x - xlo) * inv_dx
+        dyi = (y_eff - ylo) * inv_dy
+        one = f32(1.0)
+        g0c = ((dxi * vals[:, 9] + (one - dxi) * vals[:, 8]) * (one - dyi)
+               + (dxi * vals[:, 11] + (one - dxi) * vals[:, 10]) * dyi)
+        if use_emis:
+            E0c = ((dxi * vals[:, 13] + (one - dxi) * vals[:, 12]) * (one - dyi)
+                   + (dxi * vals[:, 15] + (one - dxi) * vals[:, 14]) * dyi)
+            E0c = jnp.maximum(E0c, f32(0.0))
+        else:
+            E0c = jnp.zeros_like(g0c)
+
+        exlo = xlo - f32(0.1) * dxc
+        exhi = xlo + dxc + f32(0.1) * dxc
+        eyhi = ylo + dyc + f32(0.1) * dyc
+        eylo = jnp.where(absy & (k2m1 <= 0), -eyhi, ylo - f32(0.1) * dyc) \
+            if absy else (ylo - f32(0.1) * dyc)
+        dz2 = f32(np.float32(z_stop)) - st["z"]
+
+        def l1_cond(s1):
+            return jnp.any(s1["act"])
+
+        def l1_body(s1):
+            a1 = s1["act"]
+            y2 = jnp.where(absy, jnp.abs(s1["py"]), s1["py"])
+            dxi2 = (s1["px"] - xlo) * inv_dx
+            dyi2 = (y2 - ylo) * inv_dy
+            n0 = na_ + nb_ * dxi2 + nc_ * dyi2 + nd_ * dxi2 * dyi2
+            dndx = gx1 + dyi2 * gxd
+            dndy = gy1 + dxi2 * gyd
+            if absy:
+                dndy = jnp.where(s1["py"] < 0, -dndy, dndy)
+            box2 = dz2 - s1["z2"]
+            l2 = _propagate_loop(a1, s1["sx"], s1["sy"], s1["sz"], n0, dndx,
+                                 dndy, f32(0.1) * dxc, f32(0.1) * dyc, box2, c)
+            sel = lambda p, q: jnp.where(a1, p, q)
+            px = sel(s1["px"] + l2.rx, s1["px"])
+            py = sel(s1["py"] + l2.ry, s1["py"])
+            pz = sel(s1["pz"] + l2.rz, s1["pz"])
+            z2 = sel(s1["z2"] + jnp.abs(l2.rz), s1["z2"])
+            ds = sel(s1["ds"] + l2.path, s1["ds"])
+            sx2 = sel(l2.sx, s1["sx"])
+            sy2 = sel(l2.sy, s1["sy"])
+            sz2 = sel(l2.sz, s1["sz"])
+            y2n = jnp.where(absy, jnp.abs(py), py)
+            still = ((px > exlo) & (px < exhi) & (y2n > eylo) & (y2n < eyhi)
+                     & (z2 < f32(0.999) * dz2))
+            return {"px": px, "py": py, "pz": pz, "sx": sx2, "sy": sy2,
+                    "sz": sz2, "z2": z2, "ds": ds, "act": a1 & still}
+
+        zero = jnp.zeros_like(p_x)
+        y20 = jnp.where(absy, jnp.abs(p_y), p_y)
+        l1a0 = work & ((p_x > exlo) & (p_x < exhi) & (y20 > eylo)
+                       & (y20 < eyhi) & (zero < f32(0.999) * dz2))
+        l1 = jax.lax.while_loop(l1_cond, l1_body, {
+            "px": p_x, "py": p_y, "pz": zero, "sx": s_x, "sy": s_y,
+            "sz": s_z, "z2": zero, "ds": zero, "act": l1a0})
+
+        sel = lambda p, q: jnp.where(work, p, q)
+        nz = sel(st["z"] + jnp.abs(l1["pz"]), st["z"])
+        i1 = k1m1 + k2m1 * nx_t
+        return {
+            "px": sel(l1["px"], p_x), "py": sel(l1["py"], p_y),
+            "sx": sel(l1["sx"], s_x), "sy": sel(l1["sy"], s_y),
+            "sz": sel(l1["sz"], s_z), "z": nz, "esc": esc,
+            "gvl": sel(st["gvl"] + g0c * l1["ds"], st["gvl"]),
+            "evl": sel(st["evl"] + E0c * l1["ds"], st["evl"]),
+            "ivl": jnp.where(work, i1, st["ivl"]),
+            "fin": esc | (nz >= z_stop995),
+        }
+
+    st0 = dict(st0)
+    st0["fin"] = st0["fin"] | (st0["z"] >= z_stop995)
+    return jax.lax.while_loop(l0_cond, l0_body, st0)
+
+
+def trace_batch_fast(rays, N: int, dz0: float, ft: FastTables, method: int,
+                     c: float = 0.5, use_emis: bool = True) -> TraceResult:
+    """Drop-in replacement for stepper.trace_batch on uniform grids."""
+    B = rays["x"].shape[0]
+    nseg = max(N - 1, 0)
+    px = rays["x"].astype(jnp.float32)
+    py = rays["y"].astype(jnp.float32)
+    sx = jnp.tan((f32(1e-3) * rays["a"].astype(jnp.float32))
+                 .astype(jnp.float64)).astype(jnp.float32)
+    sy = jnp.tan((f32(1e-3) * rays["b"].astype(jnp.float32))
+                 .astype(jnp.float64)).astype(jnp.float32)
+    sz = jnp.full((B,), f32(1.0))
+    if method == 1:
+        sx, sy, sz = -sx, -sy, -sz
+    inv = f32(1.0) / jnp.sqrt(sx * sx + sy * sy + sz * sz)
+    sx, sy, sz = sx * inv, sy * inv, sz * inv
+    escaped = jnp.zeros((B,), dtype=bool)
+
+    gvl_all = jnp.zeros((B, max(nseg, 1), N_SUB), dtype=jnp.float32)
+    evl_all = jnp.zeros((B, max(nseg, 1), N_SUB), dtype=jnp.float32)
+    ivl_all = jnp.zeros((B, max(nseg, 1), N_SUB), dtype=jnp.int32)
+
+    dz0_f = np.float32(dz0)
+    for i in range(nseg):
+        ii = N - i - 1 if method == 1 else i + 1
+        st = {
+            "px": px, "py": py, "sx": sx, "sy": sy, "sz": sz,
+            "z": jnp.zeros((B,), jnp.float32), "esc": escaped,
+            "gvl": jnp.zeros((B,), jnp.float32),
+            "evl": jnp.zeros((B,), jnp.float32),
+            "ivl": jnp.zeros((B,), jnp.int32),
+            "fin": jnp.zeros((B,), dtype=bool),
+        }
+        for iz in range(N_SUB):
+            isub = N_SUB - iz - 1 if method == 1 else iz
+            z_stop = np.float32(dz0_f * np.float32(iz + 1.0) / np.float32(N_SUB))
+            st["gvl"] = jnp.zeros((B,), jnp.float32)
+            st["evl"] = jnp.zeros((B,), jnp.float32)
+            st["ivl"] = jnp.zeros((B,), jnp.int32)
+            st["fin"] = jnp.zeros((B,), dtype=bool)
+            st = _cell_walk_fast(ii, ft, st, z_stop, c, use_emis)
+            gvl_all = gvl_all.at[:, ii - 1, isub].set(st["gvl"])
+            evl_all = evl_all.at[:, ii - 1, isub].set(st["evl"])
+            ivl_all = ivl_all.at[:, ii - 1, isub].set(st["ivl"])
+        px, py = st["px"], st["py"]
+        sx, sy, sz = st["sx"], st["sy"], st["sz"]
+        escaped = st["esc"]
+
+    perp = sz * sz < f32(0.01)
+    exit_a = (jnp.arctan((sx / sz).astype(jnp.float64)).astype(jnp.float32)
+              * f32(1e3))
+    exit_b = (jnp.arctan((sy / sz).astype(jnp.float64)).astype(jnp.float32)
+              * f32(1e3))
+    return TraceResult(gvl=gvl_all, evl=evl_all, ivl=ivl_all,
+                       exit_x=px, exit_y=py, exit_a=exit_a, exit_b=exit_b,
+                       escaped=escaped, perp=perp)

@@ -1,0 +1,514 @@
+"""Pallas TPU stepper kernel -- the performance backend.
+
+This is the TPU-native analogue of the reference's CUDA backend
+(src/RayTraceImageCuda.cu): where CUDA assigns one thread per ray, this
+kernel assigns one (8, 128) vector tile = 1024 rays per grid step and runs
+the full three-level propagation loop nest *per tile*, so each tile's trip
+count is set by its own slowest ray rather than the global worst case
+(natural ray order groups rays by entry cell, so tiles are coherent).
+
+Why this shape: TPUs have no per-lane random access to VMEM except the
+single-tile ``tpu.dynamic_gather`` lane shuffle ((8,128), table width <= 128,
+~50 cycles). The per-cell table fetch is therefore built from it:
+
+* gain tables are repacked per segment as ``[channel, y_row, x(128)]`` --
+  the x dimension (106 points) fits the 128-lane table width;
+* at each cell entry the kernel loops *only over the y-rows actually present
+  in the tile* (a dynamic ``fori`` from min(k2) to max(k2), typically a span
+  of 1-4 rows thanks to ray coherence) and does one lane-shuffle gather +
+  masked accumulate per channel per row;
+* index search exploits the uniform grids (validated at load) with pure
+  arithmetic -- no bisection, no compares against the grid.
+
+Channels fetched per cell (all float32):
+  0-3   n corners n1, n2, n3, n4          (bilinear re-interp of n)
+  4-5   gx1, gxd = gx2-gx1                (d n/dx edge gradients, f64-accurate)
+  6-7   gy1, gyd = gy2-gy1                (d n/dy)
+  8-11  g0 corners                        (gain at line center)
+  12-15 E0 corners                        (emissivity; ASE only)
+
+Numerics are float32 with the same precision placement as the reference
+kernel; uniform-grid index arithmetic and f32 grid reconstruction introduce
+ulp-level perturbations of the same class as XLA's FMA contraction, which
+the norm-based 5e-6 golden gate averages out (validated against the
+reference binary's computed images in tests/test_golden.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+from typing import NamedTuple
+
+# the 6-phase x 3-level loop nest produces a deep trace; the default Python
+# recursion limit is too small for JAX's recursive jaxpr processing
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 100000))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raytrace_tpu.structures import RayGain
+
+__all__ = ["pack_gain_tables", "trace_tiles", "TILE_ROWS", "TILE_LANES", "TILE"]
+
+TILE_ROWS = 8
+TILE_LANES = 128
+TILE = TILE_ROWS * TILE_LANES
+N_SUB = 3
+
+f32 = jnp.float32
+
+
+class PackedGain(NamedTuple):
+    """Host-precomputed kernel tables + static per-segment geometry."""
+
+    tables: jax.Array          # [N, NCH, NYPAD, 128] f32 channel tables
+    # static python-side metadata (hashable, used at trace time)
+    x0: tuple                  # per-seg grid origins (float)
+    dxc: tuple                 # per-seg cell widths (float)
+    y0: tuple
+    dyc: tuple
+    nx: tuple                  # true grid sizes (int)
+    ny: tuple
+    absy: tuple                # per-seg half-plane mirror flag (bool)
+    range4: tuple              # per-seg (x0, x1, y0_mirrored, y1) floats
+    use_emis: bool
+
+
+def pack_gain_tables(gains: list[RayGain], use_emis: bool) -> PackedGain:
+    """Repack gain structs into the kernel's channel-table layout.
+
+    Requires uniform x/y grids (checked at 1e-9 relative tolerance); the lax
+    backend handles the general case. Channel values are computed in float64
+    and rounded once to float32, preserving the reference's double-precision
+    n-gradient rule (RayTraceStructures.h:215-217).
+    """
+    N = len(gains)
+    ny_pad = max(8, max(g.Ny for g in gains))
+    nch = 16 if use_emis else 12
+    tabs = np.zeros((N, nch, ny_pad, TILE_LANES), dtype=np.float32)
+    x0s, dxcs, y0s, dycs, nxs, nys, absys, r4s = [], [], [], [], [], [], [], []
+    for s, g in enumerate(gains):
+        Nx, Ny = g.Nx, g.Ny
+        if Nx > TILE_LANES + 1:
+            raise ValueError("pallas backend requires Nx <= 129 (lane-width table)")
+        x = np.asarray(g.x, np.float64)
+        y = np.asarray(g.y, np.float64)
+        dx = np.diff(x)
+        dy = np.diff(y)
+        if (np.ptp(dx) > 1e-9 * dx.mean()) or (np.ptp(dy) > 1e-9 * dy.mean()):
+            raise ValueError("pallas backend requires uniform gain grids")
+        n = np.asarray(g.n, np.float64).reshape(Ny, Nx)
+        g0 = np.asarray(g.g0, np.float64).reshape(Ny, Nx)
+        E0 = (np.asarray(g.E0, np.float64).reshape(Ny, Nx)
+              if g.E0 is not None else np.zeros((Ny, Nx)))
+        gx = (n[:, 1:] - n[:, :-1]) / dx[None, :]          # [Ny, Nx-1]
+        gy = (n[1:, :] - n[:-1, :]) / dy[:, None]          # [Ny-1, Nx]
+
+        def cell(tab):  # corner values per cell (k2-1, k1-1): [Ny-1, Nx-1] views
+            return tab[:-1, :-1], tab[:-1, 1:], tab[1:, :-1], tab[1:, 1:]
+
+        n1, n2, n3, n4 = cell(n)
+        ch = [n1, n2, n3, n4,
+              gx[:-1, :], gx[1:, :] - gx[:-1, :],           # gx1, gxd
+              gy[:, :-1], gy[:, 1:] - gy[:, :-1]]           # gy1, gyd
+        ch += list(cell(g0))
+        if use_emis:
+            ch += list(cell(E0))
+        for c, t in enumerate(ch):
+            tabs[s, c, : Ny - 1, : Nx - 1] = t.astype(np.float32)
+        x0s.append(float(x[0]))
+        dxcs.append(float(dx.mean()))
+        y0s.append(float(y[0]))
+        dycs.append(float(dy.mean()))
+        nxs.append(Nx)
+        nys.append(Ny)
+        r0, r1 = np.float32(x[0]), np.float32(x[-1])
+        r2, r3 = np.float32(y[0]), np.float32(y[-1])
+        absy = bool(r2 >= 0)
+        if absy:
+            r2 = np.float32(-r3)
+        absys.append(absy)
+        r4s.append((float(r0), float(r1), float(r2), float(r3)))
+    return PackedGain(
+        tables=jnp.asarray(tabs),
+        x0=tuple(x0s), dxc=tuple(dxcs), y0=tuple(y0s), dyc=tuple(dycs),
+        nx=tuple(nxs), ny=tuple(nys), absy=tuple(absys), range4=tuple(r4s),
+        use_emis=use_emis,
+    )
+
+
+_LANE_GATHER_DN = jax.lax.GatherDimensionNumbers(
+    offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
+    operand_batching_dims=(0,), start_indices_batching_dims=(0,))
+
+
+def _lane_gather(tab8, idx):
+    """Per-lane table lookup out[r, c] = tab8[r, idx[r, c]].
+
+    Direct ``lax.gather`` in the exact form Mosaic lowers to
+    ``tpu.dynamic_gather`` (the TPU's 128-lane shuffle). jnp.take_along_axis
+    is avoided because it promotes indices to int64 under x64 mode, which
+    Mosaic cannot lower.
+    """
+    return jax.lax.gather(
+        tab8, idx[..., None], _LANE_GATHER_DN, (1, 1),
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def _m(mask):
+    """bool -> f32 mask for loop carries (Mosaic cannot yield i1 vectors)."""
+    return jnp.where(mask, f32(1.0), f32(0.0))
+
+
+def _b(maskf):
+    """f32 carry -> bool mask."""
+    return maskf > f32(0.5)
+
+
+def _any(mask):
+    """jnp.any workaround: Mosaic's bool-reduce proxy materializes weak f64
+    constants under x64 mode (and bool->float astype recurses in its
+    convert-helper), so select to f32 explicitly and reduce with max."""
+    return jnp.max(jnp.where(mask, f32(1.0), f32(0.0))) > f32(0.0)
+
+
+def _fetch_cells(tab_seg_ref, k1m1, k2m1, work, nch):
+    """Fetch all per-cell channels for the tile via lane-shuffle gathers.
+
+    Loops only over the y-rows present among active lanes (dynamic range),
+    one ``dynamic_gather`` + masked accumulate per channel per row.
+    """
+    kf = k2m1.astype(f32)
+    jmin = jnp.min(jnp.where(work, kf, f32(1e6))).astype(jnp.int32)
+    jmax = jnp.max(jnp.where(work, kf, f32(-1.0))).astype(jnp.int32)
+    jmin = jnp.minimum(jmin, jmax)  # no active lanes -> empty loop
+    vals0 = [jnp.zeros((TILE_ROWS, TILE_LANES), f32) for _ in range(nch)]
+
+    def row_body(j, vals):
+        mask = (k2m1 == j) & work
+        out = []
+        for c in range(nch):
+            row = tab_seg_ref[c, pl.ds(j, 1), :]             # [1, 128]
+            tab8 = jnp.broadcast_to(row, (TILE_ROWS, TILE_LANES))
+            gath = _lane_gather(tab8, k1m1)
+            out.append(jnp.where(mask, gath, vals[c]))
+        return out
+
+    return jax.lax.fori_loop(jmin, jmax + 1, row_body, vals0)
+
+
+def _propagate_tile(act, sx, sy, sz, n0, dndx, dndy, box0, box1, box2, c):
+    """Batched ``propagate`` on a tile (same math as ops/stepper.py)."""
+    zero = jnp.zeros_like(sx)
+    dz_max = f32(c) * f32(1.00001) * box2
+
+    def cond(st):
+        return jnp.max(st[-1]) > f32(0.5)
+
+    def body(st):
+        rx, ry, rz, vsx, vsy, vsz, n_lag, path, af = st
+        a = _b(af)
+        n = n0 + rx * dndx + ry * dndy
+        t = (vsx * dndx + vsy * dndy + f32(1e-12)) / n
+        fx = dndx / n - vsx * t
+        fy = dndy / n - vsy * t
+        fz = -vsz * t
+        step = f32(c) * f32(0.1) / jnp.abs(t)
+        step = jnp.minimum(step, dz_max)
+        step2 = f32(1.0001) * (box2 - jnp.abs(rz)) / jnp.abs(vsz)
+        step3 = f32(c) * f32(0.05) * (jnp.abs(vsx) + f32(5e-4)) / (jnp.abs(fx) + f32(1e-8))
+        step4 = f32(c) * f32(0.05) * (jnp.abs(vsy) + f32(5e-4)) / (jnp.abs(fy) + f32(1e-8))
+        step = jnp.minimum(jnp.minimum(step, step2), jnp.minimum(step3, step4))
+        st_ = step * t
+        c1 = f32(0.5) * step * step * (f32(1.0) - st_ / f32(3.0) + st_ * st_ / f32(12.0))
+        nrx = rx + vsx * step + c1 * fx
+        nry = ry + vsy * step + c1 * fy
+        nrz = rz + vsz * step + c1 * fz
+        c2 = step * (f32(1.0) - f32(0.5) * st_ + st_ * st_ / f32(6.0))
+        ux, uy, uz = vsx + c2 * fx, vsy + c2 * fy, vsz + c2 * fz
+        inv = f32(1.0) / jnp.sqrt(ux * ux + uy * uy + uz * uz)
+        ux, uy, uz = ux * inv, uy * inv, uz * inv
+        npath = path + step
+        sel = lambda p, q: jnp.where(a, p, q)
+        nrx, nry, nrz = sel(nrx, rx), sel(nry, ry), sel(nrz, rz)
+        ux, uy, uz = sel(ux, vsx), sel(uy, vsy), sel(uz, vsz)
+        n = sel(n, n_lag)
+        npath = sel(npath, path)
+        still = ((jnp.abs(nrx) < box0) & (jnp.abs(nry) < box1)
+                 & (jnp.abs(nrz) < box2) & (jnp.abs(n - n0) < f32(0.05)))
+        return (nrx, nry, nrz, ux, uy, uz, n, npath, _m(a & still))
+
+    init_ok = act & (box2 > 0)
+    out = jax.lax.while_loop(
+        cond, body, (zero, zero, zero, sx, sy, sz, n0, zero, _m(init_ok)))
+    return out[:8]
+
+
+def _stepper_kernel(rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref, tab_ref,
+                    gvl_ref, evl_ref, ivl_ref,
+                    ex_ref, ey_ref, esx_ref, esy_ref, esz_ref, eesc_ref,
+                    *, pg_meta, N, dz0, c):
+    """Full multi-segment trace for one (8,128) tile of rays.
+
+    The initial direction vector (tan of the angles + backward sign +
+    normalization, RayTraceImageHelper.h:404-418) is computed outside the
+    kernel in XLA for f64-tan parity with the reference.
+    """
+    nch = 16 if pg_meta["use_emis"] else 12
+    use_emis = pg_meta["use_emis"]
+    method = pg_meta["method"]
+    nseg = N - 1
+
+    px = rx_ref[:]
+    py = ry_ref[:]
+    sx = rsx_ref[:]
+    sy = rsy_ref[:]
+    sz = rsz_ref[:]
+    escaped = jnp.zeros((TILE_ROWS, TILE_LANES), dtype=jnp.bool_)
+
+    for i in range(nseg):
+        ii = N - i - 1 if method == 1 else i + 1
+        x0 = f32(np.float32(pg_meta["x0"][ii]))
+        y0 = f32(np.float32(pg_meta["y0"][ii]))
+        dxc = f32(np.float32(pg_meta["dxc"][ii]))
+        dyc = f32(np.float32(pg_meta["dyc"][ii]))
+        inv_dx = f32(np.float32(1.0) / np.float32(pg_meta["dxc"][ii]))
+        inv_dy = f32(np.float32(1.0) / np.float32(pg_meta["dyc"][ii]))
+        nx_t = pg_meta["nx"][ii]
+        ny_t = pg_meta["ny"][ii]
+        absy = pg_meta["absy"][ii]
+        r0, r1, r2, r3 = (f32(np.float32(v)) for v in pg_meta["range4"][ii])
+        z = jnp.zeros((TILE_ROWS, TILE_LANES), f32)
+
+        for iz in range(N_SUB):
+            isub = N_SUB - iz - 1 if method == 1 else iz
+            z_stop995 = f32(np.float32(0.995) * np.float32(
+                np.float32(dz0) * np.float32(iz + 1.0) / np.float32(N_SUB)))
+            z_stop = np.float32(np.float32(dz0) * np.float32(iz + 1.0) / np.float32(N_SUB))
+
+            def l0_cond(st):
+                return jnp.min(st["fin"]) < f32(0.5)
+
+            def l0_body(st):
+                p_x, p_y = st["px"], st["py"]
+                s_x, s_y, s_z = st["sx"], st["sy"], st["sz"]
+                esc = _b(st["esc"])
+                act = ~_b(st["fin"])
+                esc_now = act & ((p_x < r0) | (p_x > r1) | (p_y < r2)
+                                 | (p_y > r3) | (s_z * s_z < f32(0.01)))
+                esc = esc | esc_now
+                work = act & ~esc_now
+
+                y_eff = jnp.abs(p_y) if absy else p_y
+                # uniform-grid interval index (== findindex on these grids)
+                qx = (p_x - x0) * inv_dx
+                qy = (y_eff - y0) * inv_dy
+                # explicit i32 bounds: jnp.clip materializes int64 scalars
+                # under x64 mode, which Mosaic cannot lower
+                k1m1 = jnp.minimum(jnp.maximum(
+                    jnp.ceil(qx).astype(jnp.int32) - 1, jnp.int32(0)),
+                    jnp.int32(nx_t - 2))
+                k2m1 = jnp.minimum(jnp.maximum(
+                    jnp.ceil(qy).astype(jnp.int32) - 1, jnp.int32(0)),
+                    jnp.int32(ny_t - 2))
+                vals = _fetch_cells(tab_ref.at[jnp.int32(ii)], k1m1, k2m1, work, nch)
+                n1, n2, n3, n4 = vals[0], vals[1], vals[2], vals[3]
+                gx1, gxd, gy1, gyd = vals[4], vals[5], vals[6], vals[7]
+
+                xlo = x0 + k1m1.astype(f32) * dxc
+                ylo = y0 + k2m1.astype(f32) * dyc
+                dxi = (p_x - xlo) * inv_dx
+                dyi = (y_eff - ylo) * inv_dy
+                dxi2c = f32(1.0) - dxi
+                dyi2c = f32(1.0) - dyi
+                g0c = ((dxi * vals[9] + dxi2c * vals[8]) * dyi2c
+                       + (dxi * vals[11] + dxi2c * vals[10]) * dyi)
+                if use_emis:
+                    E0c = ((dxi * vals[13] + dxi2c * vals[12]) * dyi2c
+                           + (dxi * vals[15] + dxi2c * vals[14]) * dyi)
+                    E0c = jnp.maximum(E0c, f32(0.0))
+                else:
+                    E0c = jnp.zeros_like(g0c)
+
+                exlo = xlo - f32(0.1) * dxc
+                exhi = xlo + dxc + f32(0.1) * dxc
+                eyhi = ylo + dyc + f32(0.1) * dyc
+                eylo_raw = ylo - f32(0.1) * dyc
+                if absy:
+                    eylo = jnp.where(k2m1 <= 0, -eyhi, eylo_raw)
+                else:
+                    eylo = eylo_raw
+                dz2 = f32(z_stop) - st["z"]
+
+                # ---- L1: in-cell interpolation walk (propagate2) ----------
+                def l1_cond(s1):
+                    return jnp.max(s1["act"]) > f32(0.5)
+
+                def l1_body(s1):
+                    a1 = _b(s1["act"])
+                    q_y = jnp.abs(s1["py"]) if absy else s1["py"]
+                    dxi2 = (s1["px"] - xlo) * inv_dx
+                    dyi2 = (q_y - ylo) * inv_dy
+                    n0 = ((dxi2 * n2 + (f32(1.0) - dxi2) * n1) * (f32(1.0) - dyi2)
+                          + (dxi2 * n4 + (f32(1.0) - dxi2) * n3) * dyi2)
+                    dndx = gx1 + dyi2 * gxd
+                    dndy = gy1 + dxi2 * gyd
+                    if absy:
+                        dndy = jnp.where(s1["py"] < 0, -dndy, dndy)
+                    box2 = dz2 - s1["z2"]
+                    rxx, ryy, rzz, ux, uy, uz, _, path = _propagate_tile(
+                        a1, s1["sx"], s1["sy"], s1["sz"], n0, dndx, dndy,
+                        f32(0.1) * dxc, f32(0.1) * dyc, box2, c)
+                    sel = lambda p, q: jnp.where(a1, p, q)
+                    npx = sel(s1["px"] + rxx, s1["px"])
+                    npy = sel(s1["py"] + ryy, s1["py"])
+                    npz = sel(s1["pz"] + rzz, s1["pz"])
+                    nz2 = sel(s1["z2"] + jnp.abs(rzz), s1["z2"])
+                    nds = sel(s1["ds"] + path, s1["ds"])
+                    nsx, nsy, nsz = sel(ux, s1["sx"]), sel(uy, s1["sy"]), sel(uz, s1["sz"])
+                    y2n = jnp.abs(npy) if absy else npy
+                    still = ((npx > exlo) & (npx < exhi) & (y2n > eylo)
+                             & (y2n < eyhi) & (nz2 < f32(0.999) * dz2))
+                    return {"px": npx, "py": npy, "pz": npz, "sx": nsx,
+                            "sy": nsy, "sz": nsz, "z2": nz2, "ds": nds,
+                            "act": _m(a1 & still)}
+
+                zero = jnp.zeros_like(p_x)
+                y20 = jnp.abs(p_y) if absy else p_y
+                l1a0 = work & ((p_x > exlo) & (p_x < exhi) & (y20 > eylo)
+                               & (y20 < eyhi) & (zero < f32(0.999) * dz2))
+                l1 = jax.lax.while_loop(l1_cond, l1_body, {
+                    "px": p_x, "py": p_y, "pz": zero, "sx": s_x, "sy": s_y,
+                    "sz": s_z, "z2": zero, "ds": zero, "act": _m(l1a0)})
+
+                sel = lambda p, q: jnp.where(work, p, q)
+                nz = sel(st["z"] + jnp.abs(l1["pz"]), st["z"])
+                i1 = k1m1 + k2m1 * nx_t
+                return {
+                    "px": sel(l1["px"], p_x), "py": sel(l1["py"], p_y),
+                    "sx": sel(l1["sx"], s_x), "sy": sel(l1["sy"], s_y),
+                    "sz": sel(l1["sz"], s_z), "z": nz, "esc": _m(esc),
+                    "gvl": sel(st["gvl"] + g0c * l1["ds"], st["gvl"]),
+                    "evl": sel(st["evl"] + E0c * l1["ds"], st["evl"]),
+                    "ivl": jnp.where(work, i1, st["ivl"]),
+                    "fin": _m(esc | (nz >= z_stop995)),
+                }
+
+            st0 = {
+                "px": px, "py": py, "sx": sx, "sy": sy, "sz": sz, "z": z,
+                "esc": _m(escaped),
+                "gvl": jnp.zeros((TILE_ROWS, TILE_LANES), f32),
+                "evl": jnp.zeros((TILE_ROWS, TILE_LANES), f32),
+                "ivl": jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32),
+                "fin": _m(escaped | (z >= z_stop995)),
+            }
+            st = jax.lax.while_loop(l0_cond, l0_body, st0)
+            px, py = st["px"], st["py"]
+            sx, sy, sz = st["sx"], st["sy"], st["sz"]
+            z, escaped = st["z"], _b(st["esc"])
+            gvl_ref[ii - 1, isub] = st["gvl"]
+            evl_ref[ii - 1, isub] = st["evl"]
+            ivl_ref[ii - 1, isub] = st["ivl"]
+
+    ex_ref[:] = px
+    ey_ref[:] = py
+    esx_ref[:] = sx
+    esy_ref[:] = sy
+    esz_ref[:] = sz
+    eesc_ref[:] = escaped.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("meta_key", "N", "dz0", "c"))
+def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c):
+    pg_meta = dict(meta_key)
+    T = rx.shape[0]
+    nseg = N - 1
+    method = pg_meta["method"]
+
+    # initial direction: tan in f64 then round, like the reference's double
+    # tan() (RayTraceImageHelper.h:409-418)
+    sx = jnp.tan((f32(1e-3) * ra).astype(jnp.float64)).astype(jnp.float32)
+    sy = jnp.tan((f32(1e-3) * rb).astype(jnp.float64)).astype(jnp.float32)
+    sz = jnp.full(sx.shape, f32(1.0))
+    if method == 1:
+        sx, sy, sz = -sx, -sy, -sz
+    inv = f32(1.0) / jnp.sqrt(sx * sx + sy * sy + sz * sz)
+    sx, sy, sz = sx * inv, sy * inv, sz * inv
+
+    kernel = functools.partial(_stepper_kernel, pg_meta=pg_meta, N=N,
+                               dz0=dz0, c=c)
+    grid = (T,)
+    # index maps derive zeros from the grid index (t * 0) so they stay i32:
+    # python-int constants are traced as i64 under x64 mode, which Mosaic
+    # cannot return from the index function
+    def _imap(n):
+        def f(t):
+            t32 = jnp.asarray(t, jnp.int32)
+            return (t32,) + (t32 * 0,) * (n - 1)
+        return f
+
+    ray_spec = pl.BlockSpec((1, TILE_ROWS, TILE_LANES), _imap(3),
+                            memory_space=pltpu.VMEM)
+    out_big = pl.BlockSpec((1, nseg, N_SUB, TILE_ROWS, TILE_LANES), _imap(5),
+                           memory_space=pltpu.VMEM)
+    out_one = pl.BlockSpec((1, TILE_ROWS, TILE_LANES), _imap(3),
+                           memory_space=pltpu.VMEM)
+
+    def k(rx_ref, ry_ref, sx_ref, sy_ref, sz_ref, tab_ref,
+          gvl_ref, evl_ref, ivl_ref,
+          ex_ref, ey_ref, esx_ref, esy_ref, esz_ref, eesc_ref):
+        kernel(rx_ref.at[0], ry_ref.at[0], sx_ref.at[0], sy_ref.at[0],
+               sz_ref.at[0], tab_ref,
+               gvl_ref.at[0], evl_ref.at[0], ivl_ref.at[0],
+               ex_ref.at[0], ey_ref.at[0], esx_ref.at[0], esy_ref.at[0],
+               esz_ref.at[0], eesc_ref.at[0])
+
+    def _imap_zero(n):
+        def f(t):
+            t32 = jnp.asarray(t, jnp.int32)
+            return (t32 * 0,) * n
+        return f
+
+    # the tables block is the full array and must NOT advance with the grid
+    tab_spec = pl.BlockSpec(tables.shape, _imap_zero(4), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        k,
+        grid=grid,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, nseg, N_SUB, TILE_ROWS, TILE_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T, nseg, N_SUB, TILE_ROWS, TILE_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T, nseg, N_SUB, TILE_ROWS, TILE_LANES), jnp.int32),
+            jax.ShapeDtypeStruct((T, TILE_ROWS, TILE_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T, TILE_ROWS, TILE_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T, TILE_ROWS, TILE_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T, TILE_ROWS, TILE_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T, TILE_ROWS, TILE_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T, TILE_ROWS, TILE_LANES), jnp.int32),
+        ),
+        in_specs=[ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+                  tab_spec],
+        out_specs=(out_big, out_big, out_big, out_one, out_one, out_one,
+                   out_one, out_one, out_one),
+    )(rx, ry, sx, sy, sz, tables)
+    return outs
+
+
+def trace_tiles(rays, N: int, dz0: float, pg: PackedGain, method: int,
+                c: float = 0.5):
+    """Run the Pallas stepper over [T, 8, 128]-tiled ray batches.
+
+    ``rays``: dict of float32 [T, 8, 128] arrays x/y/a/b.
+    Returns (gvl, evl, ivl [T,nseg,3,8,128], exit px/py/sx/sy/sz, escaped).
+    """
+    meta_key = (
+        ("x0", pg.x0), ("dxc", pg.dxc), ("y0", pg.y0), ("dyc", pg.dyc),
+        ("nx", pg.nx), ("ny", pg.ny), ("absy", pg.absy),
+        ("range4", tuple(tuple(r) for r in pg.range4)),
+        ("use_emis", pg.use_emis), ("method", method),
+    )
+    return _trace_tiles_jit(rays["x"], rays["y"], rays["a"], rays["b"],
+                            pg.tables, meta_key, N, float(dz0), float(c))
