@@ -87,10 +87,11 @@ def _make_pipeline(cfg: dict, trace_fn):
     use_emis = cfg["use_emis"]
     dims = cfg["dims"]
     scale = cfg["scale"]
+    dense = cfg.get("dense", False)
     spectrum_dtype = jnp.dtype(cfg["spectrum_dtype"])
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def run_chunk(image_acc, iang_acc, fail_acc, ijkm, valid, ray_grids,
+    def run_chunk(image_acc, iang_acc, fail_acc, row0, ijkm, valid, ray_grids,
                   trace_tables, gain_dev, dseed, beam):
         i, j, k, m = _unflatten_rays(ijkm, dims)
         gx, gy, ga, gb = ray_grids
@@ -119,13 +120,25 @@ def _make_pipeline(cfg: dict, trace_fn):
         code = jnp.where(res.perp, -1, jnp.where(neg, -2, jnp.where(nan, -3, 0)))
         code = jnp.where(valid, code, 0).astype(jnp.int32)
         ok = valid & (code == 0)
-        img_p, ang_p = binning.bin_images(Iv, res, rays, beam, method, scale, ok)
+        if dense:
+            # full-grid ASE: pure-reduction deposit, accumulated i-major
+            img_rows, ang_p = binning.bin_images_dense(Iv, beam, ok)
+            rows = img_rows.shape[0]
+            r0 = row0.astype(jnp.int32)
+            z0 = jnp.int32(0)
+            cur = jax.lax.dynamic_slice(image_acc, (r0, z0), (rows, K))
+            image_new = jax.lax.dynamic_update_slice(
+                image_acc, cur + img_rows, (r0, z0))
+        else:
+            img_p, ang_p = binning.bin_images(Iv, res, rays, beam, method,
+                                              scale, ok)
+            image_new = image_acc + img_p
         fail_bits = (
             jnp.where(jnp.any(code == -1), jnp.uint32(1 << 1), jnp.uint32(0))
             | jnp.where(jnp.any(code == -2), jnp.uint32(1 << 2), jnp.uint32(0))
             | jnp.where(jnp.any(code == -3), jnp.uint32(1 << 3), jnp.uint32(0))
         )
-        return image_acc + img_p, iang_acc + ang_p, fail_acc | fail_bits, code
+        return image_new, iang_acc + ang_p, fail_acc | fail_bits, code
 
     return run_chunk
 
@@ -247,15 +260,22 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
 
     ijkm_all = generate_ray_indices(problem)
     B_total = len(ijkm_all)
+    Nt = dims[0] * dims[1] * dims[2] * dims[3]
+    # dense deposit applies when the worker owns the full natural-order grid
+    dense = (method == 1 and problem.N_start == 0 and problem.N_parallel == 1
+             and B_total == Nt)
+    blk = dims[2] * dims[3]
     chunk = min(chunk_size, max(B_total, 1))
+    if dense:
+        chunk = max(blk, (chunk // blk) * blk)
 
     cfg_key = (backend, problem.N, float(beam.dz), K, method, use_emis, dims,
                float(scale), str(jnp.dtype(spectrum_dtype)), float(c), chunk,
-               fast_meta)
+               dense, fast_meta)
     if cfg_key not in _PIPELINE_CACHE:
         cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                    use_emis=use_emis, dims=dims, scale=float(scale),
-                   spectrum_dtype=spectrum_dtype, c=float(c),
+                   spectrum_dtype=spectrum_dtype, c=float(c), dense=dense,
                    fast_meta=fast_meta)
         _PIPELINE_CACHE[cfg_key] = BACKENDS[backend](cfg)
     pipeline = _PIPELINE_CACHE[cfg_key]
@@ -272,10 +292,14 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         hi = min(lo + chunk, B_total)
         idx = np.zeros(chunk, dtype=np.int64)
         idx[: hi - lo] = ijkm_all[lo:hi]
+        if dense and hi - lo < chunk:
+            # pad with in-range indices; their contribution is masked out
+            idx[hi - lo:] = ijkm_all[-1]
         valid = np.zeros(chunk, dtype=bool)
         valid[: hi - lo] = True
+        row0 = jnp.int32(lo // blk) if dense else jnp.int32(0)
         image, i_ang, fail_acc, codes = pipeline(
-            image, i_ang, fail_acc, jnp.asarray(idx), jnp.asarray(valid),
+            image, i_ang, fail_acc, row0, jnp.asarray(idx), jnp.asarray(valid),
             ray_grids, trace_tables, gain_dev, seed_dev, beam_dev)
         codes_per_chunk.append((idx, codes))
     image.block_until_ready()
@@ -302,7 +326,13 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         profiler.stop("create_image")
         raise err_util.RayTraceError("Some rays failed")
 
-    image_np = np.asarray(image, dtype=np.float64).reshape(-1)
+    if dense:
+        # dense accumulation is i-major [i*ny + j]; reference layout is
+        # image[nv*(i1 + i2*nx) + iv] = [j, i, v] C-order
+        image_np = (np.asarray(image, dtype=np.float64)
+                    .reshape(nx, ny, K).transpose(1, 0, 2).reshape(-1))
+    else:
+        image_np = np.asarray(image, dtype=np.float64).reshape(-1)
     i_ang_np = np.asarray(i_ang, dtype=np.float64)
     problem.image = image_np
     problem.I_ang = i_ang_np

@@ -26,7 +26,33 @@ import jax.numpy as jnp
 from raytrace_tpu.models.problem import DeviceBeam
 from raytrace_tpu.ops.interp import find_first_single
 
-__all__ = ["get_index", "bin_images"]
+__all__ = ["get_index", "bin_images", "bin_images_dense"]
+
+
+def bin_images_dense(Iv, beam: DeviceBeam, ok):
+    """Dense binning for full-grid backward (ASE) chunks.
+
+    When the ray list enumerates the complete (x, y, a, b) grid in natural
+    order (N_start=0, N_parallel=1, method 1), every ray bins at its *entry*
+    coordinates, so ``getIndex`` is the identity: the near-field deposit is a
+    pure reduction over the angular block and the far-field deposit a
+    reduction over the spatial block -- no scatter at all. The chunk must
+    cover whole (na x nb) blocks.
+
+    Returns (img_rows [cells_chunk, K] f64 in i-major cell order,
+    i_ang_part [na*nb] f64 in reference k + m*na order).
+    """
+    na = beam.a.shape[0]
+    nb = beam.b.shape[0]
+    B, K = Iv.shape
+    blk = na * nb
+    cells = B // blk
+    contrib = jnp.where(ok[:, None], Iv, 0.0).astype(jnp.float64)
+    img_rows = contrib.reshape(cells, blk, K).sum(axis=1)
+    tmp = contrib @ (2.0 * beam.dv)                       # [B]
+    ang_km = tmp.reshape(cells, na, nb).sum(axis=0)       # [k, m]
+    i_ang_part = ang_km.T.reshape(-1)                     # flat k + m*na
+    return img_rows, i_ang_part
 
 
 def get_index(grid, d, y):
