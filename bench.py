@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Metric: ASE_small rays/second per chip (399,000 rays per create_image call,
+reference protocol: warmup + timed calls including host->device table
+upload, src/CreateImage.cpp:118-190). ``vs_baseline`` is the speedup over
+the reference CPU binary measured on this host (1.793 s/call = 222,532
+rays/s, serial; see BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REFERENCE_INPUT = "/root/reference/ASE_small.dat"
+BASELINE_RAYS_PER_SEC = 399000 / 1.793  # reference CPU binary on this host
+
+
+def main():
+    import numpy as np
+    from raytrace_tpu import create_image, load_input
+    from raytrace_tpu.utils.stats import check_ans
+
+    problem, image0, i_ang0 = load_input(REFERENCE_INPUT)
+    n_rays = 399000
+
+    # warmup (JIT compile)
+    image, i_ang = create_image(problem, "lax")
+    create_image(problem, "lax")
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        image, i_ang = create_image(problem, "lax")
+        times.append(time.perf_counter() - t0)
+    avg = sum(times) / len(times)
+    rays_per_sec = n_rays / avg
+
+    ok = check_ans(image0, i_ang0, image, i_ang, verbose=False)
+    result = {
+        "metric": "ase_small_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "avg_seconds_per_call": round(avg, 4),
+        "golden_check": bool(ok),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

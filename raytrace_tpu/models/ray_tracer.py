@@ -79,8 +79,15 @@ def _unflatten_rays(ijkm, dims):
     return i.astype(jnp.int32), j.astype(jnp.int32), k.astype(jnp.int32), m.astype(jnp.int32)
 
 
-def _make_pipeline(cfg: dict, trace_fn):
-    """Build the jitted per-chunk pipeline around a trace function."""
+def chunk_core(cfg: dict, trace_fn, ijkm, valid, ray_grids, trace_tables,
+               gain_dev, dseed, beam):
+    """Shared per-chunk compute: ray gen -> trace -> seed -> amplify -> bin.
+
+    Returns (image_partial, iang_partial, code). ``image_partial`` is
+    [cells_chunk, K] in i-major order when cfg['dense'] else the full
+    [nx*ny, K] scatter deposit. Used by both the single-device pipeline and
+    the shard_map multi-chip path (raytrace_tpu.parallel.sharding).
+    """
     N = cfg["N"]
     K = cfg["K"]
     method = cfg["method"]
@@ -90,55 +97,70 @@ def _make_pipeline(cfg: dict, trace_fn):
     dense = cfg.get("dense", False)
     spectrum_dtype = jnp.dtype(cfg["spectrum_dtype"])
 
+    i, j, k, m = _unflatten_rays(ijkm, dims)
+    gx, gy, ga, gb = ray_grids
+    rays = {
+        "x": gx[i].astype(jnp.float32),
+        "y": gy[j].astype(jnp.float32),
+        "a": ga[k].astype(jnp.float32),
+        "b": gb[m].astype(jnp.float32),
+    }
+    res = trace_fn(rays, trace_tables)
+    B = ijkm.shape[0]
+    if dseed is None:
+        Iv0 = jnp.zeros((B, K), dtype=spectrum_dtype)
+    else:
+        if method == 1:
+            sx, sy = res.exit_x, res.exit_y
+            sa, sb = res.exit_a, res.exit_b
+        else:
+            sx, sy, sa, sb = rays["x"], rays["y"], rays["a"], rays["b"]
+        Iv0 = seed_ops.calc_seed_batch(dseed, sx, sy, sa, sb, K)
+        Iv0 = jnp.where(res.escaped[:, None], 0.0, Iv0).astype(spectrum_dtype)
+    Iv = spectrum.amplify(res, Iv0, gain_dev, N, use_emis, dtype=spectrum_dtype)
+    neg = jnp.any(Iv < 0.0, axis=1)
+    nan = jnp.any(Iv != Iv, axis=1)
+    code = jnp.where(res.perp, -1, jnp.where(neg, -2, jnp.where(nan, -3, 0)))
+    code = jnp.where(valid, code, 0).astype(jnp.int32)
+    ok = valid & (code == 0)
+    if dense:
+        img_p, ang_p = binning.bin_images_dense(Iv, beam, ok)
+    else:
+        img_p, ang_p = binning.bin_images(Iv, res, rays, beam, method,
+                                          scale, ok)
+    return img_p, ang_p, code
+
+
+def _fail_bits(code):
+    """Fold per-ray error codes into the reference's failure bitmask
+    (set_bit(-error), src/RayTraceImageCPU.cpp:34)."""
+    return (
+        jnp.where(jnp.any(code == -1), jnp.uint32(1 << 1), jnp.uint32(0))
+        | jnp.where(jnp.any(code == -2), jnp.uint32(1 << 2), jnp.uint32(0))
+        | jnp.where(jnp.any(code == -3), jnp.uint32(1 << 3), jnp.uint32(0))
+    )
+
+
+def _make_pipeline(cfg: dict, trace_fn):
+    """Build the jitted accumulating per-chunk pipeline around chunk_core."""
+    K = cfg["K"]
+    dense = cfg.get("dense", False)
+
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def run_chunk(image_acc, iang_acc, fail_acc, row0, ijkm, valid, ray_grids,
                   trace_tables, gain_dev, dseed, beam):
-        i, j, k, m = _unflatten_rays(ijkm, dims)
-        gx, gy, ga, gb = ray_grids
-        rays = {
-            "x": gx[i].astype(jnp.float32),
-            "y": gy[j].astype(jnp.float32),
-            "a": ga[k].astype(jnp.float32),
-            "b": gb[m].astype(jnp.float32),
-        }
-        res = trace_fn(rays, trace_tables)
-        B = ijkm.shape[0]
-        if dseed is None:
-            Iv0 = jnp.zeros((B, K), dtype=spectrum_dtype)
-        else:
-            if method == 1:
-                sx, sy = res.exit_x, res.exit_y
-                sa, sb = res.exit_a, res.exit_b
-            else:
-                sx, sy, sa, sb = rays["x"], rays["y"], rays["a"], rays["b"]
-            Iv0 = seed_ops.calc_seed_batch(dseed, sx, sy, sa, sb, K)
-            Iv0 = jnp.where(res.escaped[:, None], 0.0, Iv0).astype(spectrum_dtype)
-        Iv = spectrum.amplify(res, Iv0, gain_dev, N, use_emis,
-                              dtype=spectrum_dtype)
-        neg = jnp.any(Iv < 0.0, axis=1)
-        nan = jnp.any(Iv != Iv, axis=1)
-        code = jnp.where(res.perp, -1, jnp.where(neg, -2, jnp.where(nan, -3, 0)))
-        code = jnp.where(valid, code, 0).astype(jnp.int32)
-        ok = valid & (code == 0)
+        img_p, ang_p, code = chunk_core(cfg, trace_fn, ijkm, valid, ray_grids,
+                                        trace_tables, gain_dev, dseed, beam)
         if dense:
-            # full-grid ASE: pure-reduction deposit, accumulated i-major
-            img_rows, ang_p = binning.bin_images_dense(Iv, beam, ok)
-            rows = img_rows.shape[0]
+            rows = img_p.shape[0]
             r0 = row0.astype(jnp.int32)
             z0 = jnp.int32(0)
             cur = jax.lax.dynamic_slice(image_acc, (r0, z0), (rows, K))
             image_new = jax.lax.dynamic_update_slice(
-                image_acc, cur + img_rows, (r0, z0))
+                image_acc, cur + img_p, (r0, z0))
         else:
-            img_p, ang_p = binning.bin_images(Iv, res, rays, beam, method,
-                                              scale, ok)
             image_new = image_acc + img_p
-        fail_bits = (
-            jnp.where(jnp.any(code == -1), jnp.uint32(1 << 1), jnp.uint32(0))
-            | jnp.where(jnp.any(code == -2), jnp.uint32(1 << 2), jnp.uint32(0))
-            | jnp.where(jnp.any(code == -3), jnp.uint32(1 << 3), jnp.uint32(0))
-        )
-        return image_new, iang_acc + ang_p, fail_acc | fail_bits, code
+        return image_new, iang_acc + ang_p, fail_acc | _fail_bits(code), code
 
     return run_chunk
 

@@ -74,6 +74,9 @@ def pack_fast_tables(gains: list[RayGain], use_emis: bool) -> FastTables:
     nyc = max(g.Ny - 1 for g in gains)
     tx = np.zeros((N, XPAD, nyc * nch), dtype=np.float32)
     meta = []
+    if not is_uniform(gains):
+        raise ValueError("fast stepper requires uniform gain grids with "
+                         f"Nx-1 <= {XPAD}; use the exact (lax-exact) backend")
     for s, g in enumerate(gains):
         Nx, Ny = g.Nx, g.Ny
         x = np.asarray(g.x, np.float64)

@@ -34,12 +34,16 @@ def find_first_single(grid, y):
     """First index i with grid[i] >= y; returns len(grid) if none.
 
     ``grid``: (n,) sorted; ``y``: (...,) query points. Matches
-    ``findfirstsingle`` (RayTraceImageHelper.h:101-117) including the
-    boundary returns 0 and n.
+    ``findfirstsingle`` (RayTraceImageHelper.h:101-117) exactly, including
+    the edge behaviors: y < grid[0] -> 0, y > grid[-1] -> n, and otherwise
+    the bisection result in [1, n-1] (which returns 1, not 0, for
+    y == grid[0] exactly).
     """
     y = jnp.asarray(y)
-    cmp = grid[None, :] < y[..., None]
-    return jnp.sum(cmp, axis=-1).astype(jnp.int32)
+    n = grid.shape[0]
+    count = jnp.sum(grid[None, :] < y[..., None], axis=-1).astype(jnp.int32)
+    mid = jnp.clip(count, 1, n - 1)
+    return jnp.where(y < grid[0], 0, jnp.where(y > grid[n - 1], n, mid))
 
 
 def find_index(grid, y):

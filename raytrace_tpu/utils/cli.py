@@ -1,0 +1,136 @@
+"""CreateImage benchmark CLI -- the TPU rebuild of ``src/CreateImage.cpp``.
+
+Usage (mirrors the reference flags, Readme.txt:42-59 / CreateImageHelpers.h:50-96):
+
+    python -m raytrace_tpu.utils.cli [options] file1.dat [file2.dat ...]
+      -methods=lax,lax-exact     backends to benchmark (default: lax)
+      -iterations=N              timed calls per method (default 5)
+      -scale=S                   problem-size scale factor (default 1.0)
+      -multichip                 also run the mesh-sharded path
+      -spectrum=f64|f32          amplification precision (default f64)
+
+Per file x method: a warmup call (the JIT analogue of the reference's GPU
+warmup fixture, CreateImage.cpp:118-132), ``iterations`` timed calls,
+Avg/Min/Max/StdDev table, the golden check when scale == 1, and the
+timing-stability gates. Exit code = number of errors.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+from raytrace_tpu.io.loader import load_input
+from raytrace_tpu.models.ray_tracer import create_image
+from raytrace_tpu.utils.stats import TimingStats, check_ans, stability_errors
+from raytrace_tpu.utils.timer import profiler
+
+__all__ = ["main", "Options", "run_tests"]
+
+
+class Options:
+    """Command-line options (Options::read_cmd, CreateImageHelpers.h:56-95)."""
+
+    def __init__(self, argv):
+        self.methods: list[str] = []
+        self.iterations = 5
+        self.scale = 1.0
+        self.multichip = False
+        self.spectrum = "f64"
+        self.files: list[str] = []
+        for arg in argv:
+            if arg.startswith("-methods="):
+                self.methods = [m for m in arg.split("=", 1)[1].split(",") if m]
+            elif arg.startswith("-iterations="):
+                self.iterations = int(arg.split("=", 1)[1])
+            elif arg.startswith("-scale="):
+                self.scale = float(arg.split("=", 1)[1])
+            elif arg == "-multichip":
+                self.multichip = True
+            elif arg.startswith("-spectrum="):
+                self.spectrum = arg.split("=", 1)[1]
+            elif arg.startswith("-"):
+                raise SystemExit(f"Unknown option: {arg}")
+            else:
+                self.files.append(arg)
+
+
+def run_tests(filename: str, options: Options) -> int:
+    """Benchmark one input file (run_tests, CreateImage.cpp:84-190)."""
+    import jax.numpy as jnp
+
+    print(f"\nRunning tests for {filename}\n")
+    methods = options.methods or ["lax"]
+    sdtype = jnp.float64 if options.spectrum == "f64" else jnp.float32
+    n_errors = 0
+
+    problem, image0, i_ang0 = load_input(filename, options.scale)
+    rows = []
+    for method in methods:
+        print(f"Running {method}")
+        # warmup (JIT compile) run, like the reference's GPU warmup
+        warm, w0, w1 = load_input(filename, 0.1)
+        create_image(warm, method, spectrum_dtype=sdtype)
+        create_image(problem, method, spectrum_dtype=sdtype)
+
+        times = []
+        for _ in range(options.iterations):
+            t0 = time.perf_counter()
+            image, i_ang = create_image(problem, method, spectrum_dtype=sdtype)
+            times.append(time.perf_counter() - t0)
+        stats = TimingStats.of(times)
+        rows.append((method, stats))
+
+        if options.scale == 1.0 and image0 is not None:
+            if not check_ans(image0, i_ang0, image, i_ang):
+                n_errors += 1
+        n_errors += stability_errors(stats)
+
+    if options.multichip:
+        import jax
+        from raytrace_tpu.parallel.mesh import make_mesh
+        from raytrace_tpu.parallel.sharding import create_image_sharded
+
+        mesh = make_mesh()
+        print(f"Running multichip (mesh size {mesh.size})")
+        create_image_sharded(problem, mesh, spectrum_dtype=sdtype)
+        times = []
+        for _ in range(options.iterations):
+            t0 = time.perf_counter()
+            image, i_ang = create_image_sharded(problem, mesh,
+                                                spectrum_dtype=sdtype)
+            times.append(time.perf_counter() - t0)
+        stats = TimingStats.of(times)
+        rows.append((f"multichip[{mesh.size}]", stats))
+        if options.scale == 1.0 and image0 is not None:
+            if not check_ans(image0, i_ang0, image, i_ang):
+                n_errors += 1
+
+    print(f"\n{'METHOD':>14s} {'Avg':>8s} {'Min':>8s} {'Max':>8s} {'Std Dev':>9s}")
+    for method, stats in rows:
+        print(f"{method:>14s} {stats.avg:8.3f} {stats.min:8.3f}"
+              f" {stats.max:8.3f} {stats.std:9.3f}")
+    return n_errors
+
+
+def main(argv=None) -> int:
+    options = Options(sys.argv[1:] if argv is None else argv)
+    if not options.files:
+        print(__doc__)
+        return 1
+    n_errors = 0
+    for filename in options.files:
+        n_errors += run_tests(filename, options)
+    if n_errors == 0:
+        print("\nAll tests passed")
+    else:
+        print(f"\nSome tests failed ({n_errors} errors)")
+    print()
+    print(profiler.summary())
+    return min(n_errors, 255)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,166 @@
+"""End-to-end create_image vs a brute-force oracle deposit on a small
+synthetic problem, plus failure-path and API-surface tests."""
+
+import numpy as np
+import pytest
+
+import raytrace_tpu
+import jax.numpy as jnp
+from raytrace_tpu import calc_ray, calc_ray_path, calc_seed, create_image
+from raytrace_tpu.ops import oracle
+from raytrace_tpu.testing import synthetic_problem
+from raytrace_tpu.utils.errors import RayTraceError
+
+
+def _oracle_images(p, method):
+    """Brute-force reference deposit using the scalar oracle."""
+    b = p.euv_beam
+    src = p.seed_beam if method == 2 else b
+    scale = 1.0
+    if method == 2:
+        scale = (src.dx * src.dy * src.da * src.db) / (b.dx * b.dy)
+    image = np.zeros(b.nx * b.ny * b.nv)
+    i_ang = np.zeros(b.na * b.nb)
+
+    def get_index(grid, d, y):
+        if y < grid[0] - 0.5 * d or y > grid[-1] + 0.5 * d:
+            return -1
+        return oracle.find_first_single(grid, y - 0.5 * d)
+
+    for i in range(src.nx):
+        for j in range(src.ny):
+            for k in range(src.na):
+                for m in range(src.nb):
+                    ray = (np.float32(src.x[i]), np.float32(src.y[j]),
+                           np.float32(src.a[k]), np.float32(src.b[m]))
+                    res = oracle.calc_ray(ray, p.N, b.dz, p.gain,
+                                          p.seed if method == 2 else None,
+                                          b.nv, method)
+                    assert res.error == 0
+                    if method == 1:
+                        bx, by, ba, bb_ = ray
+                    else:
+                        bx, by = res.ray_out[0], res.ray_out[1]
+                        ba, bb_ = -res.ray_out[2], -res.ray_out[3]
+                        if by < 0 and b.y[0] >= 0:
+                            by = -by
+                    i1 = get_index(b.x, b.dx, bx)
+                    i2 = get_index(b.y, b.dy, by)
+                    i3 = get_index(b.a, b.da, ba)
+                    i4 = get_index(b.b, b.db, bb_)
+                    if i1 >= 0 and i2 >= 0:
+                        base = b.nv * (i1 + i2 * b.nx)
+                        image[base:base + b.nv] += res.Iv * scale
+                    if i3 >= 0 and i4 >= 0:
+                        i_ang[i3 + i4 * b.na] += float(np.sum(2.0 * b.dv * res.Iv))
+    return image, i_ang
+
+
+# tolerance note: trajectories through the refracting column amplify 1-ulp
+# arithmetic differences between implementations (the oracle is plain-python
+# IEEE f32, the steppers XLA f32); at the synthetic's weak gradients the
+# residual image-level jitter is ~1e-3 -- see raytrace_tpu/testing.py.
+_JITTER_TOL = 2e-3
+
+
+@pytest.mark.parametrize("backend", ["lax", "lax-exact"])
+def test_ase_vs_oracle(backend):
+    p = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5)
+    want_img, want_ang = _oracle_images(p, 1)
+    img, ang = create_image(p, backend, chunk_size=4096)
+    assert np.linalg.norm(img - want_img) / np.linalg.norm(want_img) < _JITTER_TOL
+    assert np.linalg.norm(ang - want_ang) / np.linalg.norm(want_ang) < _JITTER_TOL
+
+
+def test_seeded_vs_oracle():
+    p = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5, seeded=True)
+    want_img, want_ang = _oracle_images(p, 2)
+    img, ang = create_image(p, "lax", chunk_size=4096)
+    assert np.linalg.norm(img - want_img) / max(np.linalg.norm(want_img), 1e-300) < _JITTER_TOL
+    assert np.linalg.norm(ang - want_ang) / max(np.linalg.norm(want_ang), 1e-300) < _JITTER_TOL
+
+
+def test_spectrum_f32_close_to_f64():
+    p = synthetic_problem()
+    img64, ang64 = create_image(p, "lax", spectrum_dtype=jnp.float64)
+    img32, ang32 = create_image(p, "lax", spectrum_dtype=jnp.float32)
+    assert np.linalg.norm(img32 - img64) / np.linalg.norm(img64) < 1e-5
+    assert np.linalg.norm(ang32 - ang64) / np.linalg.norm(ang64) < 1e-5
+
+
+def test_stride_decomposition_contract():
+    """N_start/N_parallel stride workers partition the full result."""
+    full = synthetic_problem()
+    img_full, ang_full = create_image(full, "lax")
+    img_sum = np.zeros_like(img_full)
+    ang_sum = np.zeros_like(ang_full)
+    P = 3
+    for w in range(P):
+        pw = synthetic_problem()
+        pw.N_start = w
+        pw.N_parallel = P
+        img_w, ang_w = create_image(pw, "lax")
+        img_sum += img_w
+        ang_sum += ang_w
+    assert np.linalg.norm(img_sum - img_full) / np.linalg.norm(img_full) < 1e-12
+    assert np.linalg.norm(ang_sum - ang_full) / np.linalg.norm(ang_full) < 1e-12
+
+
+def test_failure_path(tmp_path):
+    """A near-perpendicular ray triggers error -1 -> failed-ray dump + abort
+    (RayTraceImage.cpp:427-430)."""
+    p = synthetic_problem()
+    p.euv_beam.a = p.euv_beam.a + 1500.0  # tan(1.5 rad) -> s_z^2 < 0.01
+    dump = tmp_path / "failed.dat"
+    with pytest.raises(RayTraceError):
+        create_image(p, "lax", failed_ray_path=str(dump))
+    assert dump.exists() and dump.stat().st_size > 0
+
+
+def test_limits():
+    p = synthetic_problem()
+    p.N = 25
+    with pytest.raises(RayTraceError):
+        create_image(p)
+
+
+def test_non_uniform_euv_grid_rejected():
+    p = synthetic_problem()
+    p.euv_beam.x = p.euv_beam.x.copy()
+    p.euv_beam.x[3] += 1e-3
+    with pytest.raises(RayTraceError):
+        create_image(p)
+
+
+def test_calc_ray_api():
+    p = synthetic_problem()
+    b = p.euv_beam
+    err, Iv, ray_out = calc_ray((b.x[2], b.y[1], b.a[1], b.b[1]), p.N, b.dz,
+                                p.gain, None, b.nv, 1)
+    assert err == 0 and Iv.shape == (b.nv,) and np.all(np.isfinite(Iv))
+    assert np.all(np.isfinite(ray_out))
+
+
+def test_calc_seed_api():
+    p = synthetic_problem(seeded=True)
+    Iv = calc_seed(p.seed, 2.5e-3, 1.0e-3, 0.0, 0.0)
+    assert Iv.shape == (p.euv_beam.nv,)
+    assert np.all(Iv >= 0) and Iv.max() > 0
+    # outside the table box -> zero
+    Iv0 = calc_seed(p.seed, 1.0, 0.0, 0.0, 0.0)
+    assert np.all(Iv0 == 0)
+
+
+def test_calc_ray_path_api():
+    p = synthetic_problem()
+    b = p.euv_beam
+    n_err, xr, yr, ir = calc_ray_path(
+        b.x[:2], b.y[:2], b.a[:1], b.b[:1], p.N, b.dz, p.gain, None,
+        b.nv, b.dv, 1)
+    n_st = 3 * (p.N - 1) + 1
+    assert xr.shape == (2, 2, 1, 1, n_st)
+    assert n_err == 0
+    # stations should move: the trajectory is non-constant
+    assert np.ptp(xr[0, 0, 0, 0]) > 0
+    # running intensity is finite and non-negative at the last station
+    assert np.all(np.isfinite(ir)) and ir[..., -1].min() >= 0

@@ -1,0 +1,93 @@
+"""Batched steppers (exact + fast) vs the scalar oracle on a synthetic
+problem (SURVEY.md section 4 test plan (c))."""
+
+import numpy as np
+import pytest
+
+import raytrace_tpu  # noqa: F401
+import jax.numpy as jnp
+from raytrace_tpu.models.problem import prepare_gain
+from raytrace_tpu.ops import fast_stepper, oracle, stepper
+from raytrace_tpu.testing import synthetic_problem
+
+
+def _sample_rays(p, n, rng):
+    b = p.euv_beam
+    i = rng.integers(0, b.nx, n)
+    j = rng.integers(0, b.ny, n)
+    k = rng.integers(0, b.na, n)
+    m = rng.integers(0, b.nb, n)
+    return (b.x[i].astype(np.float32), b.y[j].astype(np.float32),
+            b.a[k].astype(np.float32), b.b[m].astype(np.float32))
+
+
+@pytest.mark.parametrize("method", [1, 2])
+def test_exact_stepper_vs_oracle(method):
+    p = synthetic_problem(seeded=(method == 2))
+    b = p.euv_beam
+    use_emis = method == 1
+    gain_dev = prepare_gain(p.gain)
+    rng = np.random.default_rng(0)
+    xs, ys, aa, bb = _sample_rays(p, 32, rng)
+    rays = {k: jnp.asarray(v) for k, v in zip("xyab", (xs, ys, aa, bb))}
+    res = stepper.trace_batch(rays, p.N, b.dz, gain_dev, method,
+                              use_emis=use_emis)
+    gvl = np.asarray(res.gvl)
+    ivl = np.asarray(res.ivl)
+    n_ivl_ok = 0
+    for t in range(32):
+        o = oracle.calc_ray((xs[t], ys[t], aa[t], bb[t]), p.N, b.dz, p.gain,
+                            p.seed if method == 2 else None, b.nv, method)
+        want = o.gvl[: p.N - 1].ravel()
+        got = gvl[t].ravel()
+        # trip-count sensitivity allows small per-ray jitter; see
+        # ops/fast_stepper.py docstring
+        denom = np.maximum(np.abs(want), 1e-6)
+        assert np.max(np.abs(got - want) / denom) < 0.05
+        n_ivl_ok += int(np.array_equal(ivl[t].ravel(), o.ivl[: p.N - 1].ravel()))
+    assert n_ivl_ok >= 28  # cell-boundary flips are rare
+
+
+def test_fast_stepper_matches_exact():
+    p = synthetic_problem()
+    b = p.euv_beam
+    gain_dev = prepare_gain(p.gain)
+    ft = fast_stepper.pack_fast_tables(p.gain, use_emis=True)
+    rng = np.random.default_rng(1)
+    xs, ys, aa, bb = _sample_rays(p, 256, rng)
+    rays = {k: jnp.asarray(v) for k, v in zip("xyab", (xs, ys, aa, bb))}
+    r_exact = stepper.trace_batch(rays, p.N, b.dz, gain_dev, 1, use_emis=True)
+    r_fast = fast_stepper.trace_batch_fast(rays, p.N, b.dz, ft, 1,
+                                           use_emis=True)
+    g_e = np.asarray(r_exact.gvl)
+    g_f = np.asarray(r_fast.gvl)
+    rel = np.abs(g_f - g_e) / np.maximum(np.abs(g_e), 1e-5)
+    # batchwise agreement: median tight, tail bounded by trip-count jitter
+    assert np.median(rel) < 1e-4
+    assert np.mean(rel) < 5e-3
+    assert np.array_equal(np.asarray(r_exact.escaped), np.asarray(r_fast.escaped))
+
+
+def test_non_uniform_requires_exact():
+    p = synthetic_problem(non_uniform_gain=True)
+    assert not fast_stepper.is_uniform(p.gain)
+    with pytest.raises(ValueError):
+        fast_stepper.pack_fast_tables(p.gain, use_emis=True)
+
+
+def test_exact_stepper_non_uniform_grid():
+    """The exact stepper's bisection handles non-uniform gain grids."""
+    p = synthetic_problem(non_uniform_gain=True)
+    b = p.euv_beam
+    gain_dev = prepare_gain(p.gain)
+    rng = np.random.default_rng(3)
+    xs, ys, aa, bb = _sample_rays(p, 8, rng)
+    rays = {k: jnp.asarray(v) for k, v in zip("xyab", (xs, ys, aa, bb))}
+    res = stepper.trace_batch(rays, p.N, b.dz, gain_dev, 1, use_emis=True)
+    gvl = np.asarray(res.gvl)
+    for t in range(8):
+        o = oracle.calc_ray((xs[t], ys[t], aa[t], bb[t]), p.N, b.dz, p.gain,
+                            None, b.nv, 1)
+        want = o.gvl[: p.N - 1].ravel()
+        denom = np.maximum(np.abs(want), 1e-6)
+        assert np.max(np.abs(gvl[t].ravel() - want) / denom) < 0.05
