@@ -18,10 +18,57 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from raytrace_tpu.structures import CreateImageProblem
+from raytrace_tpu.structures import CreateImageProblem, RayGain, RaySeed
 from raytrace_tpu.io import serialization as ser
 
+try:  # native C++ parser (built from native/raytrace_native.cpp); the
+    # pure-Python path below is behaviorally identical
+    import raytrace_native as _native
+except ImportError:  # pragma: no cover - extension not built
+    _native = None
+
 __all__ = ["load_input", "save_input", "scale_problem"]
+
+
+def _unpack_create_image_native(data: bytes) -> CreateImageProblem:
+    """Assemble a problem from the native parser's flat output.
+
+    The native scan fully parses the headerless bulk sections (gain tables,
+    seed tables) and returns the small versioned beam blobs + the trailing
+    golden images for Python to finish.
+    """
+    d = _native.parse_create_image(data)
+    p = CreateImageProblem()
+    p.N = d["N"]
+    p.N_start = d["N_start"]
+    p.N_parallel = d["N_parallel"]
+    p.euv_beam = (ser.unpack_euv_beam(bytes(d["euv_blob"]))
+                  if d["euv_blob"] is not None else None)
+    p.seed_beam = (ser.unpack_seed_beam(bytes(d["seed_beam_blob"]))
+                   if d["seed_beam_blob"] is not None else None)
+    p.gain = []
+    for gd in d["gain"]:
+        g = RayGain()
+        g.x, g.y, g.n = gd["x"], gd["y"], gd["n"]
+        g.g0, g.E0, g.gv, g.gv0 = gd["g0"], gd["E0"], gd["gv"], gd["gv0"]
+        p.gain.append(g)
+    if d["seed"] is not None:
+        s = RaySeed()
+        s.dim = d["seed"]["dim"]
+        s.x = list(d["seed"]["x"])
+        s.f = list(d["seed"]["f"])
+        s.f0 = d["seed"]["f0"]
+        p.seed = s
+    # trailer: bool has_image [+ image], bool has_I_ang [+ I_ang]
+    c = ser._Cursor(bytes(d["trailer"]))
+    beam = p.euv_beam
+    if c.boolean():
+        p.image = c.array(beam.nx * beam.ny * beam.nv, np.float64)
+    if c.boolean():
+        p.I_ang = c.array(beam.na * beam.nb, np.float64)
+    if c.pos != len(c.data):
+        raise ValueError("create_image blob size mismatch")
+    return p
 
 
 def load_input(
@@ -39,7 +86,10 @@ def load_input(
         data = fid.read(n_bytes)
     if len(data) != n_bytes:
         raise IOError(f"Failed to read desired count from {filename}")
-    problem = ser.unpack_create_image(data)
+    if _native is not None:
+        problem = _unpack_create_image_native(data)
+    else:
+        problem = ser.unpack_create_image(data)
     image0 = problem.image if keep_golden else None
     i_ang0 = problem.I_ang if keep_golden else None
     problem.image = None

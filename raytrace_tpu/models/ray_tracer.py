@@ -80,7 +80,7 @@ def _unflatten_rays(ijkm, dims):
 
 
 def chunk_core(cfg: dict, trace_fn, ijkm, valid, ray_grids, trace_tables,
-               gain_dev, dseed, beam):
+               gv_tables, dseed, beam):
     """Shared per-chunk compute: ray gen -> trace -> seed -> amplify -> bin.
 
     Returns (image_partial, iang_partial, code). ``image_partial`` is
@@ -117,7 +117,7 @@ def chunk_core(cfg: dict, trace_fn, ijkm, valid, ray_grids, trace_tables,
             sx, sy, sa, sb = rays["x"], rays["y"], rays["a"], rays["b"]
         Iv0 = seed_ops.calc_seed_batch(dseed, sx, sy, sa, sb, K)
         Iv0 = jnp.where(res.escaped[:, None], 0.0, Iv0).astype(spectrum_dtype)
-    Iv = spectrum.amplify(res, Iv0, gain_dev, N, use_emis, dtype=spectrum_dtype)
+    Iv = spectrum.amplify(res, Iv0, gv_tables, N, use_emis, dtype=spectrum_dtype)
     neg = jnp.any(Iv < 0.0, axis=1)
     nan = jnp.any(Iv != Iv, axis=1)
     code = jnp.where(res.perp, -1, jnp.where(neg, -2, jnp.where(nan, -3, 0)))
@@ -146,11 +146,24 @@ def _make_pipeline(cfg: dict, trace_fn):
     K = cfg["K"]
     dense = cfg.get("dense", False)
 
+    dims = cfg["dims"]
+    Nt = dims[0] * dims[1] * dims[2] * dims[3]
+    offset = cfg["N_start"]
+    skip = cfg["N_parallel"]
+    chunk = cfg["chunk"]
+    it_max = Nt // skip  # last valid stride index (RayTraceImage.cpp:304)
+
     @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def run_chunk(image_acc, iang_acc, fail_acc, row0, ijkm, valid, ray_grids,
-                  trace_tables, gain_dev, dseed, beam):
+    def run_chunk(image_acc, iang_acc, fail_acc, row0, it0, ray_grids,
+                  trace_tables, gv_tables, dseed, beam):
+        # ray indices generated on device: avoids shipping the (large) index
+        # array over the host link every chunk
+        it = it0 + jnp.arange(chunk, dtype=jnp.int64)
+        ijkm = offset + it * skip
+        valid = (it <= it_max) & (ijkm < Nt)
+        ijkm = jnp.where(valid, ijkm, 0)
         img_p, ang_p, code = chunk_core(cfg, trace_fn, ijkm, valid, ray_grids,
-                                        trace_tables, gain_dev, dseed, beam)
+                                        trace_tables, gv_tables, dseed, beam)
         if dense:
             rows = img_p.shape[0]
             r0 = row0.astype(jnp.int32)
@@ -267,10 +280,14 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         ft = fast_stepper.pack_fast_tables(problem.gain, use_emis)
         trace_tables = ft.tx
         fast_meta = (ft.meta, ft.nch, ft.ny_cells)
+        # the spectrum only needs the lineshape rows, not the full gain pytree
+        K_ = problem.euv_beam.nv
+        gv_tables = jnp.asarray(np.stack([
+            np.asarray(g.gv, np.float32).reshape(-1, K_) for g in problem.gain]))
     else:
         trace_tables = prepare_gain(problem.gain)
         fast_meta = None
-    gain_dev = prepare_gain(problem.gain) if backend == "lax" else trace_tables
+        gv_tables = trace_tables.gv
     beam_dev = prepare_beam(beam)
     seed_dev = prepare_seed(problem.seed) if problem.seed is not None else None
     ray_grids = (
@@ -280,9 +297,9 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         jnp.asarray(np.asarray(src.b, np.float64)),
     )
 
-    ijkm_all = generate_ray_indices(problem)
-    B_total = len(ijkm_all)
     Nt = dims[0] * dims[1] * dims[2] * dims[3]
+    skip = problem.N_parallel
+    B_total = len(range(problem.N_start, Nt, skip)) if problem.N_start < Nt else 0
     # dense deposit applies when the worker owns the full natural-order grid
     dense = (method == 1 and problem.N_start == 0 and problem.N_parallel == 1
              and B_total == Nt)
@@ -293,12 +310,13 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
 
     cfg_key = (backend, problem.N, float(beam.dz), K, method, use_emis, dims,
                float(scale), str(jnp.dtype(spectrum_dtype)), float(c), chunk,
-               dense, fast_meta)
+               dense, problem.N_start, problem.N_parallel, fast_meta)
     if cfg_key not in _PIPELINE_CACHE:
         cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                    use_emis=use_emis, dims=dims, scale=float(scale),
                    spectrum_dtype=spectrum_dtype, c=float(c), dense=dense,
-                   fast_meta=fast_meta)
+                   chunk=chunk, N_start=problem.N_start,
+                   N_parallel=problem.N_parallel, fast_meta=fast_meta)
         _PIPELINE_CACHE[cfg_key] = BACKENDS[backend](cfg)
     pipeline = _PIPELINE_CACHE[cfg_key]
 
@@ -311,19 +329,11 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     n_chunks = math.ceil(B_total / chunk) if B_total else 0
     for ci in range(n_chunks):
         lo = ci * chunk
-        hi = min(lo + chunk, B_total)
-        idx = np.zeros(chunk, dtype=np.int64)
-        idx[: hi - lo] = ijkm_all[lo:hi]
-        if dense and hi - lo < chunk:
-            # pad with in-range indices; their contribution is masked out
-            idx[hi - lo:] = ijkm_all[-1]
-        valid = np.zeros(chunk, dtype=bool)
-        valid[: hi - lo] = True
         row0 = jnp.int32(lo // blk) if dense else jnp.int32(0)
         image, i_ang, fail_acc, codes = pipeline(
-            image, i_ang, fail_acc, row0, jnp.asarray(idx), jnp.asarray(valid),
-            ray_grids, trace_tables, gain_dev, seed_dev, beam_dev)
-        codes_per_chunk.append((idx, codes))
+            image, i_ang, fail_acc, row0, jnp.int64(lo),
+            ray_grids, trace_tables, gv_tables, seed_dev, beam_dev)
+        codes_per_chunk.append((lo, codes))
     image.block_until_ready()
     fail_bits = int(fail_acc)
     profiler.stop(timer_name)
@@ -331,11 +341,12 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     # failure path (RayTraceImage.cpp:427-430)
     if fail_bits != 0:
         failed_rays = []
-        for idx, codes in codes_per_chunk:
+        for lo, codes in codes_per_chunk:
             codes = np.asarray(codes)
             for bidx in np.nonzero(codes < 0)[0][: err_util.N_FAILED_MAX]:
+                gidx = problem.N_start + (lo + int(bidx)) * problem.N_parallel
                 gi, gj, gk, gm = (np.asarray(v) for v in _unflatten_rays(
-                    jnp.asarray(idx[bidx]), dims))
+                    jnp.asarray(gidx), dims))
                 failed_rays.append(np.array(
                     [src.x[gi], src.y[gj], src.a[gk], src.b[gm]], np.float32))
                 if len(failed_rays) >= err_util.N_FAILED_MAX:

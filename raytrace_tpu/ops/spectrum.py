@@ -20,18 +20,18 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from raytrace_tpu.models.problem import DeviceGain
 from raytrace_tpu.ops.stepper import TraceResult
 
 __all__ = ["amplify"]
 
 
-def amplify(res: TraceResult, Iv0, gain: DeviceGain, N: int, use_emis: bool,
+def amplify(res: TraceResult, Iv0, gv, N: int, use_emis: bool,
             dtype=jnp.float64):
     """Apply the amplification ODE along each ray's recorded path.
 
     ``Iv0``: [B, K] initial (seed) intensity, already zeroed for escaped
-    rays. Returns [B, K] of ``dtype``.
+    rays. ``gv``: [N, cells, K] float32 lineshape tables (cell-major rows,
+    the only gain data the spectrum needs). Returns [B, K] of ``dtype``.
     """
     nseg = max(N - 1, 0)
     B, K = Iv0.shape
@@ -41,7 +41,7 @@ def amplify(res: TraceResult, Iv0, gain: DeviceGain, N: int, use_emis: bool,
 
     if use_emis:
         for i in range(nseg):
-            gv_seg = gain.gv[i + 1]  # [cells, K] f32
+            gv_seg = gv[i + 1]  # [cells, K] f32
             for isub in range(res.gvl.shape[2]):
                 gv_row = gv_seg[res.ivl[:, i, isub]].astype(dtype)  # [B, K]
                 gl = res.gvl[:, i, isub, None].astype(dtype) * gv_row
@@ -59,7 +59,7 @@ def amplify(res: TraceResult, Iv0, gain: DeviceGain, N: int, use_emis: bool,
     # gain-only fast path
     gl_tot = jnp.zeros((B, K), dtype=dtype)
     for i in range(nseg):
-        gv_seg = gain.gv[i + 1]
+        gv_seg = gv[i + 1]
         for isub in range(res.gvl.shape[2]):
             gv_row = gv_seg[res.ivl[:, i, isub]].astype(dtype)
             gl_tot = gl_tot + res.gvl[:, i, isub, None].astype(dtype) * gv_row

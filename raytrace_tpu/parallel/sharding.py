@@ -40,12 +40,30 @@ _SHARDED_CACHE: dict = {}
 
 
 def make_sharded_pipeline(cfg: dict, trace_fn, mesh: Mesh):
-    """Jitted sharded chunk step: ijkm/valid sharded on the ray axis, tables
-    replicated, psum-reduced images replicated on output."""
+    """Jitted sharded chunk step.
 
-    def worker(ijkm, valid, ray_grids, trace_tables, gain_dev, dseed, beam):
+    Ray indices are generated on device per shard: device d of D takes the
+    stride indices it = lo + d, lo + d + D, ... exactly like the reference's
+    MPI N_start/N_parallel contract nested inside the problem-level stride.
+    Tables are replicated; images meet in a psum.
+    """
+    D = mesh.size
+    dims = cfg["dims"]
+    Nt = dims[0] * dims[1] * dims[2] * dims[3]
+    offset = cfg["N_start"]
+    skip = cfg["N_parallel"]
+    chunk = cfg["chunk"]
+    per_dev = chunk // D
+    it_max = Nt // skip
+
+    def worker(it0, ray_grids, trace_tables, gv_tables, dseed, beam):
+        d = jax.lax.axis_index(RAY_AXIS).astype(jnp.int64)
+        it = it0 + d + jnp.arange(per_dev, dtype=jnp.int64) * D
+        ijkm = offset + it * skip
+        valid = (it <= it_max) & (ijkm < Nt)
+        ijkm = jnp.where(valid, ijkm, 0)
         img_p, ang_p, code = ray_tracer.chunk_core(
-            cfg, trace_fn, ijkm, valid, ray_grids, trace_tables, gain_dev,
+            cfg, trace_fn, ijkm, valid, ray_grids, trace_tables, gv_tables,
             dseed, beam)
         # image reduction over ICI -- the psum analogue of the reference's
         # MPI_Allreduce(DOUBLE, SUM) image reduce
@@ -58,16 +76,16 @@ def make_sharded_pipeline(cfg: dict, trace_fn, mesh: Mesh):
 
     sharded = shard_map(
         worker, mesh=mesh,
-        in_specs=(P(RAY_AXIS), P(RAY_AXIS), P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P()),
         out_specs=(P(), P(), P(), P(RAY_AXIS)),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
-    def run(image_acc, iang_acc, fail3_acc, ijkm, valid, ray_grids,
-            trace_tables, gain_dev, dseed, beam):
-        img, ang, bits3, code = sharded(ijkm, valid, ray_grids, trace_tables,
-                                        gain_dev, dseed, beam)
+    def run(image_acc, iang_acc, fail3_acc, it0, ray_grids,
+            trace_tables, gv_tables, dseed, beam):
+        img, ang, bits3, code = sharded(it0, ray_grids, trace_tables,
+                                        gv_tables, dseed, beam)
         return image_acc + img, iang_acc + ang, fail3_acc + bits3, code
 
     return run
@@ -108,29 +126,34 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
         ft = fast_stepper.pack_fast_tables(problem.gain, use_emis)
         trace_tables = ft.tx
         fast_meta = (ft.meta, ft.nch, ft.ny_cells)
+        gv_tables = jnp.asarray(np.stack([
+            np.asarray(g.gv, np.float32).reshape(-1, K) for g in problem.gain]))
     else:
         trace_tables = prepare_gain(problem.gain)
         fast_meta = None
-    gain_dev = prepare_gain(problem.gain) if backend == "lax" else trace_tables
+        gv_tables = trace_tables.gv
     beam_dev = prepare_beam(beam)
     seed_dev = prepare_seed(problem.seed) if problem.seed is not None else None
     ray_grids = tuple(jnp.asarray(np.asarray(g, np.float64))
                       for g in (src.x, src.y, src.a, src.b))
 
-    ijkm_all = ray_tracer.generate_ray_indices(problem)
-    B_total = len(ijkm_all)
+    Nt = dims[0] * dims[1] * dims[2] * dims[3]
+    skip = problem.N_parallel
+    B_total = len(range(problem.N_start, Nt, skip)) if problem.N_start < Nt else 0
     # chunk must split evenly across devices
     chunk = min(chunk_size, max(B_total, 1))
     chunk = max(D, (chunk // D) * D)
 
     cfg_key = ("sharded", id(mesh), backend, problem.N, float(beam.dz), K,
                method, use_emis, dims, float(scale),
-               str(jnp.dtype(spectrum_dtype)), float(c), chunk, fast_meta)
+               str(jnp.dtype(spectrum_dtype)), float(c), chunk,
+               problem.N_start, problem.N_parallel, fast_meta)
     if cfg_key not in _SHARDED_CACHE:
         cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                    use_emis=use_emis, dims=dims, scale=float(scale),
                    spectrum_dtype=spectrum_dtype, c=float(c), dense=False,
-                   fast_meta=fast_meta)
+                   chunk=chunk, N_start=problem.N_start,
+                   N_parallel=problem.N_parallel, fast_meta=fast_meta)
         if backend == "lax":
             meta, nch, nyc = fast_meta
 
@@ -151,27 +174,14 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
     i_ang = jnp.zeros((na * nb,), dtype=jnp.float64)
     fail3 = jnp.zeros((3,), dtype=jnp.int32)
 
-    # stride decomposition across devices within each chunk (the MPI
-    # N_start/N_parallel contract): device d gets rays lo+d, lo+d+D, ...
     n_chunks = math.ceil(B_total / chunk) if B_total else 0
     codes_chunks = []
     for ci in range(n_chunks):
         lo = ci * chunk
-        hi = min(lo + chunk, B_total)
-        idx = np.zeros(chunk, dtype=np.int64)
-        take = ijkm_all[lo:hi]
-        idx[: len(take)] = take
-        if len(take) < chunk:
-            idx[len(take):] = ijkm_all[-1]
-        valid = np.zeros(chunk, dtype=bool)
-        valid[: len(take)] = True
-        # reorder so each device's contiguous shard holds the strided rays
-        order = np.arange(chunk).reshape(-1, D).T.reshape(-1)
         image, i_ang, fail3, codes = pipeline(
-            image, i_ang, fail3, jnp.asarray(idx[order]),
-            jnp.asarray(valid[order]), ray_grids, trace_tables, gain_dev,
-            seed_dev, beam_dev)
-        codes_chunks.append((idx[order], codes))
+            image, i_ang, fail3, jnp.int64(lo), ray_grids, trace_tables,
+            gv_tables, seed_dev, beam_dev)
+        codes_chunks.append((lo, codes))
     image.block_until_ready()
     fail3_np = np.asarray(fail3)
     profiler.stop("create_image-sharded")
@@ -182,12 +192,18 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
             if cnt > 0:
                 bits = err_util.set_bit(bpos, bits)
         failed = []
-        for idx, codes in codes_chunks:
+        for lo, codes in codes_chunks:
             codes = np.asarray(codes)
             for bidx in np.nonzero(codes < 0)[0][: err_util.N_FAILED_MAX]:
+                # shard s, slot r -> it = lo + (bidx % per_dev)*D + s ... the
+                # gathered codes are concatenated per shard
+                per_dev = chunk // D
+                s, r = divmod(int(bidx), per_dev)
+                it = lo + s + r * D
+                gidx = problem.N_start + it * problem.N_parallel
                 gi, gj, gk, gm = (np.asarray(v) for v in
                                   ray_tracer._unflatten_rays(
-                                      jnp.asarray(idx[bidx]), dims))
+                                      jnp.asarray(gidx), dims))
                 failed.append(np.array(
                     [src.x[gi], src.y[gj], src.a[gk], src.b[gm]], np.float32))
         for msg in err_util.failure_messages(bits):
