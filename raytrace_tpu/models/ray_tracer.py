@@ -110,12 +110,15 @@ def chunk_core(cfg: dict, trace_fn, ijkm, valid, ray_grids, trace_tables,
     if dseed is None:
         Iv0 = jnp.zeros((B, K), dtype=spectrum_dtype)
     else:
-        if method == 1:
-            sx, sy = res.exit_x, res.exit_y
-            sa, sb = res.exit_a, res.exit_b
+        if isinstance(dseed, seed_ops.EntrySeedTables):
+            # forward seeding at entry coords: precomputed per-axis factors
+            Iv0 = seed_ops.calc_seed_entry(dseed, i, j, k, m, K)
+        elif method == 1:
+            Iv0 = seed_ops.calc_seed_batch(dseed, res.exit_x, res.exit_y,
+                                           res.exit_a, res.exit_b, K)
         else:
-            sx, sy, sa, sb = rays["x"], rays["y"], rays["a"], rays["b"]
-        Iv0 = seed_ops.calc_seed_batch(dseed, sx, sy, sa, sb, K)
+            Iv0 = seed_ops.calc_seed_batch(dseed, rays["x"], rays["y"],
+                                           rays["a"], rays["b"], K)
         Iv0 = jnp.where(res.escaped[:, None], 0.0, Iv0).astype(spectrum_dtype)
     Iv = spectrum.amplify(res, Iv0, gv_tables, N, use_emis, dtype=spectrum_dtype)
     neg = jnp.any(Iv < 0.0, axis=1)
@@ -222,7 +225,7 @@ def _resolve_backend(name: str, uniform: bool) -> str:
 
 
 def create_image(problem: CreateImageProblem, compute_method: str = "auto",
-                 chunk_size: int = 524288, spectrum_dtype=jnp.float64,
+                 chunk_size: int = 524288, spectrum_dtype=jnp.float32,
                  c: float = 0.5,
                  failed_ray_path: str = "Failed_RayTrace_rays.dat",
                  ) -> tuple[np.ndarray, np.ndarray]:
@@ -289,7 +292,15 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         fast_meta = None
         gv_tables = trace_tables.gv
     beam_dev = prepare_beam(beam)
-    seed_dev = prepare_seed(problem.seed) if problem.seed is not None else None
+    if problem.seed is None:
+        seed_dev = None
+    else:
+        seed_full = prepare_seed(problem.seed)
+        if method == 2:
+            seed_dev = seed_ops.make_entry_seed_tables(
+                seed_full, (src.x, src.y, src.a, src.b), K)
+        else:
+            seed_dev = seed_full
     ray_grids = (
         jnp.asarray(np.asarray(src.x, np.float64)),
         jnp.asarray(np.asarray(src.y, np.float64)),

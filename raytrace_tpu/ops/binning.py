@@ -93,15 +93,18 @@ def bin_images(Iv, res, rays, beam: DeviceBeam, method: int, scale, valid):
     i3 = get_index(beam.a, beam.da, ba)
     i4 = get_index(beam.b, beam.db, bb)
 
-    # near-field image: cell id i1 + i2*nx, trash bin for invalid
+    # near-field image: cell id i1 + i2*nx, trash bin for invalid. The
+    # scatter runs in the spectrum dtype (per-chunk partial sums; ~2.9e-7
+    # relative in f32 at 500k rays/chunk) and accumulates across chunks in
+    # the caller's float64 buffers.
     img_ok = valid & (i1 >= 0) & (i2 >= 0)
     img_bin = jnp.where(img_ok, i1 + i2 * nx, nx * ny)
-    contrib = Iv.astype(jnp.float64) * jnp.float64(scale)
+    contrib = Iv * jnp.asarray(scale, Iv.dtype)
     image = jax.ops.segment_sum(contrib, img_bin, num_segments=nx * ny + 1)[:-1]
 
     # far-field: sum_v 2 dv Iv then scatter into i3 + i4*na
     ang_ok = valid & (i3 >= 0) & (i4 >= 0)
     ang_bin = jnp.where(ang_ok, i3 + i4 * na, na * nb)
-    tmp = Iv.astype(jnp.float64) @ (2.0 * beam.dv)
+    tmp = Iv @ (2.0 * beam.dv).astype(Iv.dtype)
     i_ang = jax.ops.segment_sum(tmp, ang_bin, num_segments=na * nb + 1)[:-1]
-    return image, i_ang
+    return image.astype(jnp.float64), i_ang.astype(jnp.float64)

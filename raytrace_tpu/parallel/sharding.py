@@ -28,7 +28,7 @@ from jax import shard_map
 
 from raytrace_tpu.models import ray_tracer
 from raytrace_tpu.models.problem import prepare_beam, prepare_gain, prepare_seed
-from raytrace_tpu.ops import fast_stepper, stepper
+from raytrace_tpu.ops import fast_stepper, seed as seed_ops, stepper
 from raytrace_tpu.parallel.mesh import RAY_AXIS
 from raytrace_tpu.structures import CreateImageProblem
 from raytrace_tpu.utils import errors as err_util
@@ -94,7 +94,7 @@ def make_sharded_pipeline(cfg: dict, trace_fn, mesh: Mesh):
 def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
                          compute_method: str = "auto",
                          chunk_size: int = 524288,
-                         spectrum_dtype=jnp.float64, c: float = 0.5,
+                         spectrum_dtype=jnp.float32, c: float = 0.5,
                          failed_ray_path: str = "Failed_RayTrace_rays.dat",
                          ) -> tuple[np.ndarray, np.ndarray]:
     """Multi-chip create_image over a ray-sharded mesh.
@@ -133,7 +133,15 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
         fast_meta = None
         gv_tables = trace_tables.gv
     beam_dev = prepare_beam(beam)
-    seed_dev = prepare_seed(problem.seed) if problem.seed is not None else None
+    if problem.seed is None:
+        seed_dev = None
+    else:
+        seed_full = prepare_seed(problem.seed)
+        if method == 2:
+            seed_dev = seed_ops.make_entry_seed_tables(
+                seed_full, (src.x, src.y, src.a, src.b), K)
+        else:
+            seed_dev = seed_full
     ray_grids = tuple(jnp.asarray(np.asarray(g, np.float64))
                       for g in (src.x, src.y, src.a, src.b))
 

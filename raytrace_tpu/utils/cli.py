@@ -38,7 +38,7 @@ class Options:
         self.iterations = 5
         self.scale = 1.0
         self.multichip = False
-        self.spectrum = "f64"
+        self.spectrum = "f32"
         self.files: list[str] = []
         for arg in argv:
             if arg.startswith("-methods="):
