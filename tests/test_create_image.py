@@ -102,8 +102,10 @@ def test_stride_decomposition_contract():
         img_w, ang_w = create_image(pw, "lax")
         img_sum += img_w
         ang_sum += ang_w
-    assert np.linalg.norm(img_sum - img_full) / np.linalg.norm(img_full) < 1e-12
-    assert np.linalg.norm(ang_sum - ang_full) / np.linalg.norm(ang_full) < 1e-12
+    # the full run uses the dense-reduction deposit while stride workers use
+    # the f32 scatter deposit, so agreement is at float32 summation level
+    assert np.linalg.norm(img_sum - img_full) / np.linalg.norm(img_full) < 2e-6
+    assert np.linalg.norm(ang_sum - ang_full) / np.linalg.norm(ang_full) < 2e-6
 
 
 def test_failure_path(tmp_path):

@@ -26,8 +26,10 @@ def test_sharded_matches_single(seeded):
     mesh = make_mesh(8)
     p8 = synthetic_problem(seeded=seeded)
     img8, ang8 = create_image_sharded(p8, mesh, "lax")
-    assert np.linalg.norm(img1 - img8) / np.linalg.norm(img1) < 1e-12
-    assert np.linalg.norm(ang1 - ang8) / np.linalg.norm(ang1) < 1e-12
+    # deposits run in float32 per shard (dense path on single device vs
+    # scatter on the mesh), so agreement is at f32 summation level
+    assert np.linalg.norm(img1 - img8) / np.linalg.norm(img1) < 2e-6
+    assert np.linalg.norm(ang1 - ang8) / np.linalg.norm(ang1) < 2e-6
 
 
 @needs_mesh
@@ -42,7 +44,7 @@ def test_sharded_mesh_sizes():
         if ref_img is None:
             ref_img = img
         else:
-            assert np.linalg.norm(img - ref_img) / np.linalg.norm(ref_img) < 1e-12
+            assert np.linalg.norm(img - ref_img) / np.linalg.norm(ref_img) < 2e-6
 
 
 def test_gather_all_identity_without_mesh():
