@@ -192,44 +192,123 @@ def _cell_walk_fast(seg_idx: int, ft: FastTables, st0, z_stop: float,
             if absy else (ylo - f32(0.1) * dyc)
         dz2 = f32(np.float32(z_stop)) - st["z"]
 
-        def l1_cond(s1):
-            return jnp.any(s1["act"])
+        # ---- flattened in-cell walk: the reference's propagate2/propagate
+        # nest (one re-interpolation per multi-micro-step propagate call)
+        # becomes a single while loop taking ONE micro-step per iteration,
+        # with the per-propagate-call cached state (n0, gradients, the step
+        # box and displacement r) carried per lane. Nesting the batched
+        # loops would cost max(interp-trips) * max(micro-trips) rounds; the
+        # flattened form costs max(total micro-steps), which is far smaller
+        # under divergence. Per-lane step sequences are identical.
+        box0 = f32(0.1) * dxc
+        box1 = f32(0.1) * dyc
+        half = f32(0.5)
+        one = f32(1.0)
 
-        def l1_body(s1):
-            a1 = s1["act"]
-            y2 = jnp.where(absy, jnp.abs(s1["py"]), s1["py"])
-            dxi2 = (s1["px"] - xlo) * inv_dx
+        def interp_cell(px_, py_, z2_):
+            """propagate2's per-call re-interpolation + propagate init."""
+            y2 = jnp.where(absy, jnp.abs(py_), py_) if absy else py_
+            dxi2 = (px_ - xlo) * inv_dx
             dyi2 = (y2 - ylo) * inv_dy
             n0 = na_ + nb_ * dxi2 + nc_ * dyi2 + nd_ * dxi2 * dyi2
             dndx = gx1 + dyi2 * gxd
             dndy = gy1 + dxi2 * gyd
             if absy:
-                dndy = jnp.where(s1["py"] < 0, -dndy, dndy)
-            box2 = dz2 - s1["z2"]
-            l2 = _propagate_loop(a1, s1["sx"], s1["sy"], s1["sz"], n0, dndx,
-                                 dndy, f32(0.1) * dxc, f32(0.1) * dyc, box2, c)
+                dndy = jnp.where(py_ < 0, -dndy, dndy)
+            box2 = dz2 - z2_
+            return n0, dndx, dndy, box2
+
+        def fl_cond(s1):
+            return jnp.any(s1["act"])
+
+        def fl_body(s1):
+            a1 = s1["act"]
+            # one adaptive micro-step (propagate body,
+            # RayTraceImageHelper.h:279-311)
+            n0, dndx, dndy = s1["n0"], s1["dndx"], s1["dndy"]
+            box2 = s1["box2"]
+            n = n0 + s1["rx"] * dndx + s1["ry"] * dndy
+            t = (s1["sx"] * dndx + s1["sy"] * dndy + f32(1e-12)) / n
+            fx = dndx / n - s1["sx"] * t
+            fy = dndy / n - s1["sy"] * t
+            fz = -s1["sz"] * t
+            step = f32(c) * f32(0.1) / jnp.abs(t)
+            step = jnp.minimum(step, f32(c) * f32(1.00001) * box2)
+            step2 = f32(1.0001) * (box2 - jnp.abs(s1["rz"])) / jnp.abs(s1["sz"])
+            step3 = f32(c) * f32(0.05) * (jnp.abs(s1["sx"]) + f32(5e-4)) \
+                / (jnp.abs(fx) + f32(1e-8))
+            step4 = f32(c) * f32(0.05) * (jnp.abs(s1["sy"]) + f32(5e-4)) \
+                / (jnp.abs(fy) + f32(1e-8))
+            step = jnp.minimum(jnp.minimum(step, step2),
+                               jnp.minimum(step3, step4))
+            st_ = step * t
+            c1 = half * step * step * (one - st_ / 3 + st_ * st_ / 12)
+            rx = s1["rx"] + s1["sx"] * step + c1 * fx
+            ry = s1["ry"] + s1["sy"] * step + c1 * fy
+            rz = s1["rz"] + s1["sz"] * step + c1 * fz
+            c2 = step * (one - half * st_ + st_ * st_ / 6)
+            ux = s1["sx"] + c2 * fx
+            uy = s1["sy"] + c2 * fy
+            uz = s1["sz"] + c2 * fz
+            inv = one / jnp.sqrt(ux * ux + uy * uy + uz * uz)
+            ux, uy, uz = ux * inv, uy * inv, uz * inv
+            path = s1["path"] + step
+            n_lag = n
+
             sel = lambda p, q: jnp.where(a1, p, q)
-            px = sel(s1["px"] + l2.rx, s1["px"])
-            py = sel(s1["py"] + l2.ry, s1["py"])
-            pz = sel(s1["pz"] + l2.rz, s1["pz"])
-            z2 = sel(s1["z2"] + jnp.abs(l2.rz), s1["z2"])
-            ds = sel(s1["ds"] + l2.path, s1["ds"])
-            sx2 = sel(l2.sx, s1["sx"])
-            sy2 = sel(l2.sy, s1["sy"])
-            sz2 = sel(l2.sz, s1["sz"])
-            y2n = jnp.where(absy, jnp.abs(py), py)
-            still = ((px > exlo) & (px < exhi) & (y2n > eylo) & (y2n < eyhi)
-                     & (z2 < f32(0.999) * dz2))
-            return {"px": px, "py": py, "pz": pz, "sx": sx2, "sy": sy2,
-                    "sz": sz2, "z2": z2, "ds": ds, "act": a1 & still}
+            rx = sel(rx, s1["rx"])
+            ry = sel(ry, s1["ry"])
+            rz = sel(rz, s1["rz"])
+            ux = sel(ux, s1["sx"])
+            uy = sel(uy, s1["sy"])
+            uz = sel(uz, s1["sz"])
+            path = sel(path, s1["path"])
+            n_lag = sel(n_lag, s1["n_lag"])
+
+            # propagate-exit test (the lagged-n drift check matches the
+            # reference's loop structure)
+            l2_ok = ((jnp.abs(rx) < box0) & (jnp.abs(ry) < box1)
+                     & (jnp.abs(rz) < box2)
+                     & (jnp.abs(n_lag - n0) < f32(0.05)))
+            commit = a1 & ~l2_ok
+            # commit the propagate call: pos += r, z2 += |rz|, ds += path
+            csel = lambda p, q: jnp.where(commit, p, q)
+            px_ = csel(s1["px"] + rx, s1["px"])
+            py_ = csel(s1["py"] + ry, s1["py"])
+            pz_ = csel(s1["pz"] + rz, s1["pz"])
+            z2_ = csel(s1["z2"] + jnp.abs(rz), s1["z2"])
+            ds_ = csel(s1["ds"] + path, s1["ds"])
+            # propagate2 loop condition on the committed state
+            y2n = jnp.where(absy, jnp.abs(py_), py_) if absy else py_
+            l1_ok = ((px_ > exlo) & (px_ < exhi) & (y2n > eylo)
+                     & (y2n < eyhi) & (z2_ < f32(0.999) * dz2))
+            reinit = commit & l1_ok
+            n0n, dndxn, dndyn, box2n = interp_cell(px_, py_, z2_)
+            rsel = lambda p, q: jnp.where(reinit, p, q)
+            zero = jnp.zeros_like(px_)
+            return {
+                "px": px_, "py": py_, "pz": pz_,
+                "sx": ux, "sy": uy, "sz": uz,
+                "z2": z2_, "ds": ds_,
+                "rx": rsel(zero, rx), "ry": rsel(zero, ry),
+                "rz": rsel(zero, rz), "path": rsel(zero, path),
+                "n0": rsel(n0n, n0), "dndx": rsel(dndxn, dndx),
+                "dndy": rsel(dndyn, dndy), "box2": rsel(box2n, box2),
+                "n_lag": rsel(n0n, n_lag),
+                "act": a1 & (l2_ok | reinit),
+            }
 
         zero = jnp.zeros_like(p_x)
-        y20 = jnp.where(absy, jnp.abs(p_y), p_y)
+        y20 = jnp.where(absy, jnp.abs(p_y), p_y) if absy else p_y
         l1a0 = work & ((p_x > exlo) & (p_x < exhi) & (y20 > eylo)
                        & (y20 < eyhi) & (zero < f32(0.999) * dz2))
-        l1 = jax.lax.while_loop(l1_cond, l1_body, {
+        n0_0, dndx_0, dndy_0, box2_0 = interp_cell(p_x, p_y, zero)
+        l1 = jax.lax.while_loop(fl_cond, fl_body, {
             "px": p_x, "py": p_y, "pz": zero, "sx": s_x, "sy": s_y,
-            "sz": s_z, "z2": zero, "ds": zero, "act": l1a0})
+            "sz": s_z, "z2": zero, "ds": zero,
+            "rx": zero, "ry": zero, "rz": zero, "path": zero,
+            "n0": n0_0, "dndx": dndx_0, "dndy": dndy_0, "box2": box2_0,
+            "n_lag": n0_0, "act": l1a0})
 
         sel = lambda p, q: jnp.where(work, p, q)
         nz = sel(st["z"] + jnp.abs(l1["pz"]), st["z"])
