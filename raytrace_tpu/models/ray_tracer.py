@@ -225,7 +225,7 @@ def _resolve_backend(name: str, uniform: bool) -> str:
 
 
 def create_image(problem: CreateImageProblem, compute_method: str = "auto",
-                 chunk_size: int = 524288, spectrum_dtype=jnp.float32,
+                 chunk_size: int = 32768, spectrum_dtype=jnp.float32,
                  c: float = 0.5,
                  failed_ray_path: str = "Failed_RayTrace_rays.dat",
                  ) -> tuple[np.ndarray, np.ndarray]:
@@ -331,13 +331,19 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         _PIPELINE_CACHE[cfg_key] = BACKENDS[backend](cfg)
     pipeline = _PIPELINE_CACHE[cfg_key]
 
-    image = jnp.zeros((nx * ny, K), dtype=jnp.float64)
+    n_chunks = math.ceil(B_total / chunk) if B_total else 0
+    if dense:
+        # pad the row space so the last chunk's dynamic_update_slice window
+        # never clamps (clamping would silently shift the deposit rows)
+        img_rows = max(nx * ny, n_chunks * (chunk // blk))
+    else:
+        img_rows = nx * ny
+    image = jnp.zeros((img_rows, K), dtype=jnp.float64)
     i_ang = jnp.zeros((na * nb,), dtype=jnp.float64)
     fail_acc = jnp.uint32(0)
     codes_per_chunk = []
 
     profiler.start(timer_name)
-    n_chunks = math.ceil(B_total / chunk) if B_total else 0
     for ci in range(n_chunks):
         lo = ci * chunk
         row0 = jnp.int32(lo // blk) if dense else jnp.int32(0)
@@ -373,7 +379,7 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     if dense:
         # dense accumulation is i-major [i*ny + j]; reference layout is
         # image[nv*(i1 + i2*nx) + iv] = [j, i, v] C-order
-        image_np = (np.asarray(image, dtype=np.float64)
+        image_np = (np.asarray(image, dtype=np.float64)[: nx * ny]
                     .reshape(nx, ny, K).transpose(1, 0, 2).reshape(-1))
     else:
         image_np = np.asarray(image, dtype=np.float64).reshape(-1)

@@ -80,6 +80,17 @@ def test_seeded_vs_oracle():
     assert np.linalg.norm(ang - want_ang) / max(np.linalg.norm(want_ang), 1e-300) < _JITTER_TOL
 
 
+def test_dense_multi_chunk_matches_single_chunk():
+    """Regression: the dense deposit's dynamic row window must not clamp on
+    the final partial chunk (chunk smaller than the image rows)."""
+    p1 = synthetic_problem(nx=10, ny=7, na=5, nb=4)
+    img1, ang1 = create_image(p1, "lax", chunk_size=10 * 7 * 5 * 4)
+    p2 = synthetic_problem(nx=10, ny=7, na=5, nb=4)
+    img2, ang2 = create_image(p2, "lax", chunk_size=3 * 5 * 4 + 5)  # unaligned
+    assert np.linalg.norm(img1 - img2) / np.linalg.norm(img1) < 1e-12
+    assert np.linalg.norm(ang1 - ang2) / np.linalg.norm(ang1) < 1e-12
+
+
 def test_spectrum_f32_close_to_f64():
     p = synthetic_problem()
     img64, ang64 = create_image(p, "lax", spectrum_dtype=jnp.float64)
