@@ -283,14 +283,15 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         ft = fast_stepper.pack_fast_tables(problem.gain, use_emis)
         trace_tables = ft.tx
         fast_meta = (ft.meta, ft.nch, ft.ny_cells)
-        # the spectrum only needs the lineshape rows, not the full gain pytree
+        # the spectrum only needs the lineshape rows of segments 1..N-1
         K_ = problem.euv_beam.nv
         gv_tables = jnp.asarray(np.stack([
-            np.asarray(g.gv, np.float32).reshape(-1, K_) for g in problem.gain]))
+            np.asarray(g.gv, np.float32).reshape(-1, K_)
+            for g in problem.gain[1:]]))
     else:
         trace_tables = prepare_gain(problem.gain)
         fast_meta = None
-        gv_tables = trace_tables.gv
+        gv_tables = trace_tables.gv[1:]
     beam_dev = prepare_beam(beam)
     if problem.seed is None:
         seed_dev = None

@@ -50,7 +50,9 @@ XPAD = 128  # one-hot width; requires Nx-1 <= 128 x-cells
 class FastTables(NamedTuple):
     """Device tables + hashable static geometry for the fast stepper."""
 
-    tx: jax.Array        # [N, XPAD, ny_cells*NCH] f32 channel tables (x-major)
+    # channel tables for segments 1..N-1 (index seg-1); segment 0 is never
+    # read (the kernel always uses the high-energy-side segment)
+    tx: jax.Array        # [N-1, XPAD, ny_cells*NCH] f32 (x-major)
     meta: tuple          # static: per-seg (x0, dxc, y0, dyc, nx, ny, absy, r4)
     nch: int
     ny_cells: int
@@ -105,9 +107,10 @@ def pack_fast_tables(gains: list[RayGain], use_emis: bool) -> FastTables:
         chans += list(corners(g0))
         if use_emis:
             chans += list(corners(E0))
-        for c, t in enumerate(chans):
-            # t: [Ny-1, Nx-1] -> tx[s, x, j*nch + c]
-            tx[s, : Nx - 1, c::nch][:, : Ny - 1] = t.T.astype(np.float32)
+        if s >= 1:
+            for c, t in enumerate(chans):
+                # t: [Ny-1, Nx-1] -> tx[s-1, x, j*nch + c]
+                tx[s - 1, : Nx - 1, c::nch][:, : Ny - 1] = t.T.astype(np.float32)
         r0, r1 = np.float32(x[0]), np.float32(x[-1])
         r2, r3 = np.float32(y[0]), np.float32(y[-1])
         absy = bool(r2 >= 0)
@@ -132,7 +135,7 @@ def _cell_walk_fast(seg_idx: int, ft: FastTables, st0, z_stop: float,
     r0, r1, r2, r3 = (f32(np.float32(v)) for v in r4)
     nch = ft.nch
     nyc = ft.ny_cells
-    tx = ft.tx[seg_idx]  # [XPAD, nyc*nch]
+    tx = ft.tx[seg_idx - 1]  # [XPAD, nyc*nch] (segment-1-based)
     z_stop995 = f32(np.float32(0.995) * np.float32(z_stop))
 
     def l0_cond(st):

@@ -70,8 +70,10 @@ def amplify(res: TraceResult, Iv0, gv, N: int, use_emis: bool,
     """Apply the amplification ODE along each ray's recorded path.
 
     ``Iv0``: [B, K] initial (seed) intensity, already zeroed for escaped
-    rays. ``gv``: [N, cells, K] float32 lineshape tables (cell-major rows,
-    the only gain data the spectrum needs). Returns [B, K] of ``dtype``.
+    rays. ``gv``: [N-1, cells, K] float32 lineshape tables for segments
+    1..N-1 (segment 0 is never read: the kernel always uses the
+    high-energy-side segment, RayTraceImageHelper.h:430-441).
+    Returns [B, K] of ``dtype``.
     """
     nseg = max(N - 1, 0)
     B, K = Iv0.shape
@@ -83,7 +85,7 @@ def amplify(res: TraceResult, Iv0, gv, N: int, use_emis: bool,
 
     if use_emis:
         for i in range(nseg):
-            gv_seg = gv[i + 1]  # [cells, K] f32
+            gv_seg = gv[i]  # [cells, K] f32
             for isub in range(res.gvl.shape[2]):
                 gv_row = gv_seg[res.ivl[:, i, isub]]  # [B, K] f32
                 # f32*f32 is exact in f64; the ODE needs the log-gain to
@@ -110,7 +112,7 @@ def amplify(res: TraceResult, Iv0, gv, N: int, use_emis: bool,
     # gain-only fast path: accumulate the total log-gain, one exp
     gl_tot = jnp.zeros((B, K), dtype=jnp.float64)
     for i in range(nseg):
-        gv_seg = gv[i + 1]
+        gv_seg = gv[i]
         for isub in range(res.gvl.shape[2]):
             gv_row = gv_seg[res.ivl[:, i, isub]]
             gl_tot = gl_tot + (res.gvl[:, i, isub, None].astype(jnp.float64)

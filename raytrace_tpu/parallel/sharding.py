@@ -127,11 +127,12 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
         trace_tables = ft.tx
         fast_meta = (ft.meta, ft.nch, ft.ny_cells)
         gv_tables = jnp.asarray(np.stack([
-            np.asarray(g.gv, np.float32).reshape(-1, K) for g in problem.gain]))
+            np.asarray(g.gv, np.float32).reshape(-1, K)
+            for g in problem.gain[1:]]))
     else:
         trace_tables = prepare_gain(problem.gain)
         fast_meta = None
-        gv_tables = trace_tables.gv
+        gv_tables = trace_tables.gv[1:]
     beam_dev = prepare_beam(beam)
     if problem.seed is None:
         seed_dev = None
