@@ -145,40 +145,56 @@ def _fail_bits(code):
 
 
 def _make_pipeline(cfg: dict, trace_fn):
-    """Build the jitted accumulating per-chunk pipeline around chunk_core."""
+    """Build the jitted whole-call pipeline: a lax.scan over ray chunks.
+
+    One device dispatch per ``create_image`` call; ray indices are generated
+    on device from the stride contract, so the only per-call host traffic is
+    the problem tables (which the reference also re-uploads per call).
+    """
     K = cfg["K"]
     dense = cfg.get("dense", False)
-
     dims = cfg["dims"]
     Nt = dims[0] * dims[1] * dims[2] * dims[3]
     offset = cfg["N_start"]
     skip = cfg["N_parallel"]
     chunk = cfg["chunk"]
+    n_chunks = cfg["n_chunks"]
+    img_rows = cfg["img_rows"]
     it_max = Nt // skip  # last valid stride index (RayTraceImage.cpp:304)
+    rows_per_chunk = chunk // (dims[2] * dims[3]) if dense else 0
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def run_chunk(image_acc, iang_acc, fail_acc, row0, it0, ray_grids,
-                  trace_tables, gv_tables, dseed, beam):
-        # ray indices generated on device: avoids shipping the (large) index
-        # array over the host link every chunk
-        it = it0 + jnp.arange(chunk, dtype=jnp.int64)
-        ijkm = offset + it * skip
-        valid = (it <= it_max) & (ijkm < Nt)
-        ijkm = jnp.where(valid, ijkm, 0)
-        img_p, ang_p, code = chunk_core(cfg, trace_fn, ijkm, valid, ray_grids,
-                                        trace_tables, gv_tables, dseed, beam)
-        if dense:
-            rows = img_p.shape[0]
-            r0 = row0.astype(jnp.int32)
-            z0 = jnp.int32(0)
-            cur = jax.lax.dynamic_slice(image_acc, (r0, z0), (rows, K))
-            image_new = jax.lax.dynamic_update_slice(
-                image_acc, cur + img_p, (r0, z0))
-        else:
-            image_new = image_acc + img_p
-        return image_new, iang_acc + ang_p, fail_acc | _fail_bits(code), code
+    @partial(jax.jit, donate_argnums=())
+    def run_call(ray_grids, trace_tables, gv_tables, dseed, beam):
+        image0 = jnp.zeros((img_rows, K), dtype=jnp.float64)
+        iang0 = jnp.zeros((dims and cfg["na_nb"],), dtype=jnp.float64)
 
-    return run_chunk
+        def body(carry, ci):
+            image_acc, iang_acc, fail_acc = carry
+            it = ci.astype(jnp.int64) * chunk + jnp.arange(chunk, dtype=jnp.int64)
+            ijkm = offset + it * skip
+            valid = (it <= it_max) & (ijkm < Nt)
+            ijkm = jnp.where(valid, ijkm, 0)
+            img_p, ang_p, code = chunk_core(cfg, trace_fn, ijkm, valid,
+                                            ray_grids, trace_tables,
+                                            gv_tables, dseed, beam)
+            if dense:
+                r0 = (ci * rows_per_chunk).astype(jnp.int32)
+                z0 = jnp.int32(0)
+                rows = img_p.shape[0]
+                cur = jax.lax.dynamic_slice(image_acc, (r0, z0), (rows, K))
+                image_new = jax.lax.dynamic_update_slice(
+                    image_acc, cur + img_p, (r0, z0))
+            else:
+                image_new = image_acc + img_p
+            return ((image_new, iang_acc + ang_p,
+                     fail_acc | _fail_bits(code)), code)
+
+        (image, i_ang, fail), codes = jax.lax.scan(
+            body, (image0, iang0, jnp.uint32(0)),
+            jnp.arange(n_chunks, dtype=jnp.int32))
+        return image, i_ang, fail, codes
+
+    return run_call
 
 
 def _lax_exact_factory(cfg):
@@ -209,8 +225,54 @@ def _lax_fast_factory(cfg):
     return _make_pipeline(cfg, trace_fn)
 
 
+def _pallas_factory(cfg):
+    """Experimental Pallas TPU kernel backend (ops/pallas_kernel.py): the
+    full loop nest runs per (8,128) ray tile inside one Mosaic kernel, so
+    each tile's trip count is independent. Numerically validated; slow on
+    stacks where tpu.dynamic_gather lowers to a scalar loop (see the module
+    docstring) -- kept as the vehicle for per-tile-divergence experiments.
+    """
+    from raytrace_tpu.ops import pallas_kernel as pk
+
+    N, dz, c = cfg["N"], cfg["dz"], cfg["c"]
+    method, use_emis = cfg["method"], cfg["use_emis"]
+    meta = dict(cfg["pallas_meta"])
+
+    def trace_fn(rays, tables):
+        B = rays["x"].shape[0]
+        if B % pk.TILE != 0:
+            raise err_util.RayTraceError(
+                f"pallas backend needs chunk sizes divisible by {pk.TILE}")
+        T = B // pk.TILE
+        tiled = {k: v.reshape(T, pk.TILE_ROWS, pk.TILE_LANES)
+                 for k, v in rays.items()}
+        pg = pk.PackedGain(tables=tables, x0=meta["x0"], dxc=meta["dxc"],
+                           y0=meta["y0"], dyc=meta["dyc"], nx=meta["nx"],
+                           ny=meta["ny"], absy=meta["absy"],
+                           range4=meta["range4"], use_emis=use_emis)
+        outs = pk.trace_tiles(tiled, N, dz, pg, method, c=c)
+        gvl, evl, ivl, ex, ey, sx, sy, sz, esc = outs
+        nseg = max(N - 1, 0)
+        flat = lambda t: t.reshape(B)
+        f32_ = jnp.float32
+        exit_a = (jnp.arctan((sx / sz).reshape(B).astype(jnp.float64))
+                  .astype(f32_) * f32_(1e3))
+        exit_b = (jnp.arctan((sy / sz).reshape(B).astype(jnp.float64))
+                  .astype(f32_) * f32_(1e3))
+        return stepper.TraceResult(
+            gvl=gvl.transpose(0, 3, 4, 1, 2).reshape(B, nseg, pk.N_SUB),
+            evl=evl.transpose(0, 3, 4, 1, 2).reshape(B, nseg, pk.N_SUB),
+            ivl=ivl.transpose(0, 3, 4, 1, 2).reshape(B, nseg, pk.N_SUB),
+            exit_x=flat(ex), exit_y=flat(ey), exit_a=exit_a, exit_b=exit_b,
+            escaped=flat(esc) != 0,
+            perp=(sz * sz).reshape(B) < f32_(0.01))
+
+    return _make_pipeline(cfg, trace_fn)
+
+
 BACKENDS["lax-exact"] = _lax_exact_factory
 BACKENDS["lax"] = _lax_fast_factory
+BACKENDS["pallas"] = _pallas_factory
 
 
 def _resolve_backend(name: str, uniform: bool) -> str:
@@ -225,7 +287,7 @@ def _resolve_backend(name: str, uniform: bool) -> str:
 
 
 def create_image(problem: CreateImageProblem, compute_method: str = "auto",
-                 chunk_size: int = 32768, spectrum_dtype=jnp.float32,
+                 chunk_size: int | None = None, spectrum_dtype=jnp.float32,
                  c: float = 0.5,
                  failed_ray_path: str = "Failed_RayTrace_rays.dat",
                  ) -> tuple[np.ndarray, np.ndarray]:
@@ -279,12 +341,25 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     # host -> device conversion of the problem tables. Inside the timed
     # region on purpose: the reference re-uploads per call because the
     # production gain tables change every iteration (Readme.txt:43).
+    K_ = problem.euv_beam.nv
+    pallas_meta = None
     if backend == "lax":
         ft = fast_stepper.pack_fast_tables(problem.gain, use_emis)
         trace_tables = ft.tx
         fast_meta = (ft.meta, ft.nch, ft.ny_cells)
         # the spectrum only needs the lineshape rows of segments 1..N-1
-        K_ = problem.euv_beam.nv
+        gv_tables = jnp.asarray(np.stack([
+            np.asarray(g.gv, np.float32).reshape(-1, K_)
+            for g in problem.gain[1:]]))
+    elif backend == "pallas":
+        from raytrace_tpu.ops import pallas_kernel as pk
+        pg = pk.pack_gain_tables(problem.gain, use_emis)
+        trace_tables = pg.tables
+        fast_meta = None
+        pallas_meta = (("x0", pg.x0), ("dxc", pg.dxc), ("y0", pg.y0),
+                       ("dyc", pg.dyc), ("nx", pg.nx), ("ny", pg.ny),
+                       ("absy", pg.absy),
+                       ("range4", tuple(tuple(r) for r in pg.range4)))
         gv_tables = jnp.asarray(np.stack([
             np.asarray(g.gv, np.float32).reshape(-1, K_)
             for g in problem.gain[1:]]))
@@ -316,21 +391,18 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     dense = (method == 1 and problem.N_start == 0 and problem.N_parallel == 1
              and B_total == Nt)
     blk = dims[2] * dims[3]
+    if chunk_size is None:
+        # smaller chunks bound the batched while-loop divergence (better
+        # x-locality) but add scan steps; measured sweet spots per scale
+        chunk_size = 16384 if B_total < 2_000_000 else 32768
     chunk = min(chunk_size, max(B_total, 1))
     if dense:
         chunk = max(blk, (chunk // blk) * blk)
-
-    cfg_key = (backend, problem.N, float(beam.dz), K, method, use_emis, dims,
-               float(scale), str(jnp.dtype(spectrum_dtype)), float(c), chunk,
-               dense, problem.N_start, problem.N_parallel, fast_meta)
-    if cfg_key not in _PIPELINE_CACHE:
-        cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
-                   use_emis=use_emis, dims=dims, scale=float(scale),
-                   spectrum_dtype=spectrum_dtype, c=float(c), dense=dense,
-                   chunk=chunk, N_start=problem.N_start,
-                   N_parallel=problem.N_parallel, fast_meta=fast_meta)
-        _PIPELINE_CACHE[cfg_key] = BACKENDS[backend](cfg)
-    pipeline = _PIPELINE_CACHE[cfg_key]
+    if backend == "pallas":
+        # pallas trace operates on whole (8,128) ray tiles
+        from raytrace_tpu.ops import pallas_kernel as pk
+        chunk = max(pk.TILE, (chunk // pk.TILE) * pk.TILE)
+        dense = False  # tile alignment conflicts with (na*nb)-block alignment
 
     n_chunks = math.ceil(B_total / chunk) if B_total else 0
     if dense:
@@ -339,19 +411,24 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         img_rows = max(nx * ny, n_chunks * (chunk // blk))
     else:
         img_rows = nx * ny
-    image = jnp.zeros((img_rows, K), dtype=jnp.float64)
-    i_ang = jnp.zeros((na * nb,), dtype=jnp.float64)
-    fail_acc = jnp.uint32(0)
-    codes_per_chunk = []
+    cfg_key = (backend, problem.N, float(beam.dz), K, method, use_emis, dims,
+               float(scale), str(jnp.dtype(spectrum_dtype)), float(c), chunk,
+               dense, n_chunks, problem.N_start, problem.N_parallel,
+               fast_meta, pallas_meta)
+    if cfg_key not in _PIPELINE_CACHE:
+        cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
+                   use_emis=use_emis, dims=dims, scale=float(scale),
+                   spectrum_dtype=spectrum_dtype, c=float(c), dense=dense,
+                   chunk=chunk, n_chunks=n_chunks, img_rows=img_rows,
+                   na_nb=na * nb, N_start=problem.N_start,
+                   N_parallel=problem.N_parallel, fast_meta=fast_meta,
+                   pallas_meta=pallas_meta)
+        _PIPELINE_CACHE[cfg_key] = BACKENDS[backend](cfg)
+    pipeline = _PIPELINE_CACHE[cfg_key]
 
     profiler.start(timer_name)
-    for ci in range(n_chunks):
-        lo = ci * chunk
-        row0 = jnp.int32(lo // blk) if dense else jnp.int32(0)
-        image, i_ang, fail_acc, codes = pipeline(
-            image, i_ang, fail_acc, row0, jnp.int64(lo),
-            ray_grids, trace_tables, gv_tables, seed_dev, beam_dev)
-        codes_per_chunk.append((lo, codes))
+    image, i_ang, fail_acc, codes_all = pipeline(
+        ray_grids, trace_tables, gv_tables, seed_dev, beam_dev)
     image.block_until_ready()
     fail_bits = int(fail_acc)
     profiler.stop(timer_name)
@@ -359,16 +436,13 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     # failure path (RayTraceImage.cpp:427-430)
     if fail_bits != 0:
         failed_rays = []
-        for lo, codes in codes_per_chunk:
-            codes = np.asarray(codes)
-            for bidx in np.nonzero(codes < 0)[0][: err_util.N_FAILED_MAX]:
-                gidx = problem.N_start + (lo + int(bidx)) * problem.N_parallel
-                gi, gj, gk, gm = (np.asarray(v) for v in _unflatten_rays(
-                    jnp.asarray(gidx), dims))
-                failed_rays.append(np.array(
-                    [src.x[gi], src.y[gj], src.a[gk], src.b[gm]], np.float32))
-                if len(failed_rays) >= err_util.N_FAILED_MAX:
-                    break
+        codes_flat = np.asarray(codes_all).reshape(-1)
+        for bidx in np.nonzero(codes_flat < 0)[0][: err_util.N_FAILED_MAX]:
+            gidx = problem.N_start + int(bidx) * problem.N_parallel
+            gi, gj, gk, gm = (np.asarray(v) for v in _unflatten_rays(
+                jnp.asarray(gidx), dims))
+            failed_rays.append(np.array(
+                [src.x[gi], src.y[gj], src.a[gk], src.b[gm]], np.float32))
         for msg in err_util.failure_messages(fail_bits):
             print(msg)
         err_util.write_failures(failed_ray_path, fail_bits,
