@@ -79,6 +79,57 @@ def _unflatten_rays(ijkm, dims):
     return i.astype(jnp.int32), j.astype(jnp.int32), k.astype(jnp.int32), m.astype(jnp.int32)
 
 
+def unpack_bundle(cfg: dict, pack):
+    """Slice the single packed host->device transfer back into the small
+    per-call arrays (grids, dv, seed factor tables).
+
+    Shipping one concatenated f64 vector instead of ~16 small arrays matters
+    on hosts where each transfer pays link latency; scalars ride in the
+    static config. Layout entries are (name, offset, length).
+    """
+    arrays = {}
+    for name, off, ln in cfg["pack_layout"]:
+        arrays[name] = jax.lax.slice(pack, (off,), (off + ln,))
+    sc = cfg["beam_scalars"]
+    beam = DeviceBeam(
+        x=arrays["bx"], y=arrays["by"], a=arrays["ba"], b=arrays["bb"],
+        dv=arrays["bdv"],
+        dx=jnp.float64(sc[0]), dy=jnp.float64(sc[1]),
+        da=jnp.float64(sc[2]), db=jnp.float64(sc[3]),
+        y0_nonneg=jnp.bool_(sc[4]))
+    ray_grids = (arrays["sx"], arrays["sy"], arrays["sa"], arrays["sb"])
+    dseed = None
+    if any(n == "seed_tx" for n, _, _ in cfg["pack_layout"]):
+        dseed = seed_ops.EntrySeedTables(
+            tx=arrays["seed_tx"], ty=arrays["seed_ty"], ta=arrays["seed_ta"],
+            tb=arrays["seed_tb"], fv=arrays["seed_fv"],
+            f0=jnp.float64(cfg["seed_f0"]))
+    return ray_grids, beam, dseed
+
+
+def make_bundle_pack(beam, src, entry_seed=None):
+    """Host-side companion of unpack_bundle: returns (pack f64 array, layout,
+    beam_scalars)."""
+    parts = [("bx", beam.x), ("by", beam.y), ("ba", beam.a), ("bb", beam.b),
+             ("bdv", beam.dv), ("sx", src.x), ("sy", src.y), ("sa", src.a),
+             ("sb", src.b)]
+    if entry_seed is not None:
+        parts += [("seed_tx", entry_seed.tx), ("seed_ty", entry_seed.ty),
+                  ("seed_ta", entry_seed.ta), ("seed_tb", entry_seed.tb),
+                  ("seed_fv", entry_seed.fv)]
+    layout = []
+    bufs = []
+    off = 0
+    for name, arr in parts:
+        arr = np.asarray(arr, np.float64)
+        layout.append((name, off, len(arr)))
+        bufs.append(arr)
+        off += len(arr)
+    scalars = (float(beam.dx), float(beam.dy), float(beam.da),
+               float(beam.db), bool(beam.y[0] >= 0.0))
+    return jnp.asarray(np.concatenate(bufs)), tuple(layout), scalars
+
+
 def chunk_core(cfg: dict, trace_fn, ijkm, valid, ray_grids, trace_tables,
                gv_tables, dseed, beam):
     """Shared per-chunk compute: ray gen -> trace -> seed -> amplify -> bin.
@@ -134,6 +185,28 @@ def chunk_core(cfg: dict, trace_fn, ijkm, valid, ray_grids, trace_tables,
     return img_p, ang_p, code
 
 
+def _entry_seed_host(seed, src, K):
+    """Host-side per-axis seed factor tables at the entry grid points (the
+    numpy companion of seed_ops.make_entry_seed_tables, feeding the packed
+    transfer)."""
+    from raytrace_tpu.ops import oracle
+
+    class _T:
+        pass
+
+    t = _T()
+    for name, grid, axis in (("tx", src.x, 0), ("ty", src.y, 1),
+                             ("ta", src.a, 2), ("tb", src.b, 3)):
+        pts = np.asarray(grid, np.float64).astype(np.float32).astype(np.float64)
+        xi = np.asarray(seed.x[axis], np.float64)
+        fi = np.asarray(seed.f[axis], np.float64)
+        vals = np.array([oracle.interp_pchip(xi, fi, p) for p in pts])
+        inside = (pts >= xi[0]) & (pts <= xi[-1])
+        setattr(t, name, np.where(inside, vals, 0.0))
+    t.fv = np.asarray(seed.f[4], np.float64)[:K]
+    return t
+
+
 def _fail_bits(code):
     """Fold per-ray error codes into the reference's failure bitmask
     (set_bit(-error), src/RayTraceImageCPU.cpp:34)."""
@@ -163,8 +236,17 @@ def _make_pipeline(cfg: dict, trace_fn):
     it_max = Nt // skip  # last valid stride index (RayTraceImage.cpp:304)
     rows_per_chunk = chunk // (dims[2] * dims[3]) if dense else 0
 
+    packed = cfg.get("pack_layout") is not None
+
     @partial(jax.jit, donate_argnums=())
     def run_call(ray_grids, trace_tables, gv_tables, dseed, beam):
+        if packed:
+            # ray_grids carries the single packed transfer
+            ray_grids_u, beam_u, dseed_u = unpack_bundle(cfg, ray_grids)
+            if dseed_u is None:
+                dseed_u = dseed
+        else:
+            ray_grids_u, beam_u, dseed_u = ray_grids, beam, dseed
         image0 = jnp.zeros((img_rows, K), dtype=jnp.float64)
         iang0 = jnp.zeros((dims and cfg["na_nb"],), dtype=jnp.float64)
 
@@ -175,8 +257,8 @@ def _make_pipeline(cfg: dict, trace_fn):
             valid = (it <= it_max) & (ijkm < Nt)
             ijkm = jnp.where(valid, ijkm, 0)
             img_p, ang_p, code = chunk_core(cfg, trace_fn, ijkm, valid,
-                                            ray_grids, trace_tables,
-                                            gv_tables, dseed, beam)
+                                            ray_grids_u, trace_tables,
+                                            gv_tables, dseed_u, beam_u)
             if dense:
                 r0 = (ci * rows_per_chunk).astype(jnp.int32)
                 z0 = jnp.int32(0)
@@ -367,22 +449,21 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         trace_tables = prepare_gain(problem.gain)
         fast_meta = None
         gv_tables = trace_tables.gv[1:]
-    beam_dev = prepare_beam(beam)
-    if problem.seed is None:
-        seed_dev = None
-    else:
-        seed_full = prepare_seed(problem.seed)
+    # one packed transfer for all the small per-call arrays; the
+    # backward-seeded path (general pchip at exit coords) keeps the full
+    # device-seed pytree as a separate operand
+    entry_seed_host = None
+    seed_dev = None
+    seed_f0 = 0.0
+    if problem.seed is not None:
         if method == 2:
-            seed_dev = seed_ops.make_entry_seed_tables(
-                seed_full, (src.x, src.y, src.a, src.b), K)
+            entry_seed_host = _entry_seed_host(problem.seed, src, K)
+            seed_f0 = float(problem.seed.f0)
         else:
-            seed_dev = seed_full
-    ray_grids = (
-        jnp.asarray(np.asarray(src.x, np.float64)),
-        jnp.asarray(np.asarray(src.y, np.float64)),
-        jnp.asarray(np.asarray(src.a, np.float64)),
-        jnp.asarray(np.asarray(src.b, np.float64)),
-    )
+            seed_dev = prepare_seed(problem.seed)
+    ray_grids, pack_layout, beam_scalars = make_bundle_pack(
+        beam, src, entry_seed_host)
+    beam_dev = None
 
     Nt = dims[0] * dims[1] * dims[2] * dims[3]
     skip = problem.N_parallel
@@ -414,7 +495,7 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     cfg_key = (backend, problem.N, float(beam.dz), K, method, use_emis, dims,
                float(scale), str(jnp.dtype(spectrum_dtype)), float(c), chunk,
                dense, n_chunks, problem.N_start, problem.N_parallel,
-               fast_meta, pallas_meta)
+               fast_meta, pallas_meta, pack_layout, beam_scalars, seed_f0)
     if cfg_key not in _PIPELINE_CACHE:
         cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                    use_emis=use_emis, dims=dims, scale=float(scale),
@@ -422,15 +503,18 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
                    chunk=chunk, n_chunks=n_chunks, img_rows=img_rows,
                    na_nb=na * nb, N_start=problem.N_start,
                    N_parallel=problem.N_parallel, fast_meta=fast_meta,
-                   pallas_meta=pallas_meta)
+                   pallas_meta=pallas_meta, pack_layout=pack_layout,
+                   beam_scalars=beam_scalars, seed_f0=seed_f0)
         _PIPELINE_CACHE[cfg_key] = BACKENDS[backend](cfg)
     pipeline = _PIPELINE_CACHE[cfg_key]
 
     profiler.start(timer_name)
-    image, i_ang, fail_acc, codes_all = pipeline(
+    image_d, iang_d, fail_acc, codes_all = pipeline(
         ray_grids, trace_tables, gv_tables, seed_dev, beam_dev)
-    image.block_until_ready()
-    fail_bits = int(fail_acc)
+    # single blocking readback (each separate device->host fetch pays a
+    # link round trip on tunneled devices)
+    image, i_ang, fail_bits = jax.device_get((image_d, iang_d, fail_acc))
+    fail_bits = int(fail_bits)
     profiler.stop(timer_name)
 
     # failure path (RayTraceImage.cpp:427-430)
@@ -454,11 +538,11 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     if dense:
         # dense accumulation is i-major [i*ny + j]; reference layout is
         # image[nv*(i1 + i2*nx) + iv] = [j, i, v] C-order
-        image_np = (np.asarray(image, dtype=np.float64)[: nx * ny]
-                    .reshape(nx, ny, K).transpose(1, 0, 2).reshape(-1))
+        image_np = (image[: nx * ny]
+                    .reshape(nx, ny, K).transpose(1, 0, 2).reshape(-1).copy())
     else:
-        image_np = np.asarray(image, dtype=np.float64).reshape(-1)
-    i_ang_np = np.asarray(i_ang, dtype=np.float64)
+        image_np = image.reshape(-1)
+    i_ang_np = i_ang
     problem.image = image_np
     problem.I_ang = i_ang_np
     profiler.stop("create_image")

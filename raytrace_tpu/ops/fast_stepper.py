@@ -122,9 +122,16 @@ def pack_fast_tables(gains: list[RayGain], use_emis: bool) -> FastTables:
                       ny_cells=nyc)
 
 
-def _cell_walk_fast(seg_idx: int, ft: FastTables, st0, z_stop: float,
-                    c: float, use_emis: bool):
-    """Batched cell-walk with one-hot MXU fetch (mirrors stepper._cell_walk)."""
+def _segment_walk_fast(seg_idx: int, ft: FastTables, st0, dz0: float,
+                       c: float, use_emis: bool, method: int):
+    """Batched cell-walk over one whole segment: all three sub-lengths run
+    inside a single while loop with a per-lane sub-length counter ``iz``.
+
+    The per-sub loops share the segment's tables and constants; merging them
+    means each lane advances through its sub-lengths at its own pace, so the
+    loop runs ~max(total cells per lane in the segment) rounds instead of
+    the sum of per-sub batch maxima.
+    """
     x0_, dxc_, y0_, dyc_, nx_t, ny_t, absy, r4 = ft.meta[seg_idx]
     x0 = f32(np.float32(x0_))
     dxc = f32(np.float32(dxc_))
@@ -136,17 +143,53 @@ def _cell_walk_fast(seg_idx: int, ft: FastTables, st0, z_stop: float,
     nch = ft.nch
     nyc = ft.ny_cells
     tx = ft.tx[seg_idx - 1]  # [XPAD, nyc*nch] (segment-1-based)
-    z_stop995 = f32(np.float32(0.995) * np.float32(z_stop))
+    # per-sub stop distances, f32-rounded exactly like the reference's
+    # dz0*(iz+1.0f)/N_SUB (RayTraceImageHelper.h:462)
+    zs_c = [f32(np.float32(np.float32(dz0) * np.float32(iz + 1.0)
+                           / np.float32(N_SUB))) for iz in range(N_SUB)]
+
+    def zs_of(iz):
+        return jnp.where(iz <= 0, zs_c[0], jnp.where(iz == 1, zs_c[1], zs_c[2]))
+
+    def isub_of(iz):
+        return (jnp.int32(N_SUB - 1) - iz) if method == 1 else iz
+
+    def flush(st_out, mask, isub, cur, key):
+        out = list(st_out)
+        for s in range(N_SUB):
+            out[s] = jnp.where(mask & (isub == s), cur, out[s])
+        return tuple(out)
 
     def l0_cond(st):
-        return jnp.any(~st["fin"])
+        return jnp.any(~(st["esc"] | (st["iz"] >= N_SUB)))
 
     def l0_body(st):
         p_x, p_y = st["px"], st["py"]
         s_x, s_y, s_z = st["sx"], st["sy"], st["sz"]
-        act = ~st["fin"]
+        act0 = ~(st["esc"] | (st["iz"] >= N_SUB))
+        # ---- sub-length advance: z passed 0.995*z_stop(iz) ---------------
+        iz = st["iz"]
+        adv = act0 & (st["z"] >= f32(0.995) * zs_of(iz))
+        isub = isub_of(iz)
+        out_g = flush(st["out_g"], adv, isub, st["gvl"], "g")
+        out_e = flush(st["out_e"], adv, isub, st["evl"], "e")
+        out_i = flush(st["out_i"], adv, isub, st["ivl"], "i")
+        gvl_cur = jnp.where(adv, f32(0.0), st["gvl"])
+        evl_cur = jnp.where(adv, f32(0.0), st["evl"])
+        ivl_cur = jnp.where(adv, jnp.int32(0), st["ivl"])
+        iz = iz + adv.astype(jnp.int32)
+        act = act0 & (iz < N_SUB)
+        zs = zs_of(iz)
+        isub = isub_of(iz)
+
         esc_now = act & ((p_x < r0) | (p_x > r1) | (p_y < r2) | (p_y > r3)
                          | (s_z * s_z < f32(0.01)))
+        # escaping lanes flush their partial sums for the current sub-length
+        # (the reference accumulates straight into gvl[ii-1][is], so partials
+        # up to the escape are kept, RayTraceImageHelper.h:501-503)
+        out_g = flush(out_g, esc_now, isub, gvl_cur, "g")
+        out_e = flush(out_e, esc_now, isub, evl_cur, "e")
+        out_i = flush(out_i, esc_now, isub, ivl_cur, "i")
         esc = st["esc"] | esc_now
         work = act & ~esc_now
 
@@ -193,7 +236,7 @@ def _cell_walk_fast(seg_idx: int, ft: FastTables, st0, z_stop: float,
         eyhi = ylo + dyc + f32(0.1) * dyc
         eylo = jnp.where(absy & (k2m1 <= 0), -eyhi, ylo - f32(0.1) * dyc) \
             if absy else (ylo - f32(0.1) * dyc)
-        dz2 = f32(np.float32(z_stop)) - st["z"]
+        dz2 = zs - st["z"]
 
         # ---- flattened in-cell walk: the reference's propagate2/propagate
         # nest (one re-interpolation per multi-micro-step propagate call)
@@ -319,16 +362,14 @@ def _cell_walk_fast(seg_idx: int, ft: FastTables, st0, z_stop: float,
         return {
             "px": sel(l1["px"], p_x), "py": sel(l1["py"], p_y),
             "sx": sel(l1["sx"], s_x), "sy": sel(l1["sy"], s_y),
-            "sz": sel(l1["sz"], s_z), "z": nz, "esc": esc,
-            "gvl": sel(st["gvl"] + g0c * l1["ds"], st["gvl"]),
-            "evl": sel(st["evl"] + E0c * l1["ds"], st["evl"]),
-            "ivl": jnp.where(work, i1, st["ivl"]),
-            "fin": esc | (nz >= z_stop995),
+            "sz": sel(l1["sz"], s_z), "z": nz, "esc": esc, "iz": iz,
+            "gvl": sel(gvl_cur + g0c * l1["ds"], gvl_cur),
+            "evl": sel(evl_cur + E0c * l1["ds"], evl_cur),
+            "ivl": jnp.where(work, i1, ivl_cur),
+            "out_g": out_g, "out_e": out_e, "out_i": out_i,
         }
 
-    st0 = dict(st0)
-    st0["fin"] = st0["fin"] | (st0["z"] >= z_stop995)
-    return jax.lax.while_loop(l0_cond, l0_body, st0)
+    return jax.lax.while_loop(l0_cond, l0_body, dict(st0))
 
 
 def trace_batch_fast(rays, N: int, dz0: float, ft: FastTables, method: int,
@@ -353,28 +394,23 @@ def trace_batch_fast(rays, N: int, dz0: float, ft: FastTables, method: int,
     evl_all = jnp.zeros((B, max(nseg, 1), N_SUB), dtype=jnp.float32)
     ivl_all = jnp.zeros((B, max(nseg, 1), N_SUB), dtype=jnp.int32)
 
-    dz0_f = np.float32(dz0)
+    zerosf = jnp.zeros((B,), jnp.float32)
+    zerosi = jnp.zeros((B,), jnp.int32)
     for i in range(nseg):
         ii = N - i - 1 if method == 1 else i + 1
         st = {
             "px": px, "py": py, "sx": sx, "sy": sy, "sz": sz,
-            "z": jnp.zeros((B,), jnp.float32), "esc": escaped,
-            "gvl": jnp.zeros((B,), jnp.float32),
-            "evl": jnp.zeros((B,), jnp.float32),
-            "ivl": jnp.zeros((B,), jnp.int32),
-            "fin": jnp.zeros((B,), dtype=bool),
+            "z": zerosf, "esc": escaped, "iz": zerosi,
+            "gvl": zerosf, "evl": zerosf, "ivl": zerosi,
+            "out_g": (zerosf,) * N_SUB,
+            "out_e": (zerosf,) * N_SUB,
+            "out_i": (zerosi,) * N_SUB,
         }
-        for iz in range(N_SUB):
-            isub = N_SUB - iz - 1 if method == 1 else iz
-            z_stop = np.float32(dz0_f * np.float32(iz + 1.0) / np.float32(N_SUB))
-            st["gvl"] = jnp.zeros((B,), jnp.float32)
-            st["evl"] = jnp.zeros((B,), jnp.float32)
-            st["ivl"] = jnp.zeros((B,), jnp.int32)
-            st["fin"] = jnp.zeros((B,), dtype=bool)
-            st = _cell_walk_fast(ii, ft, st, z_stop, c, use_emis)
-            gvl_all = gvl_all.at[:, ii - 1, isub].set(st["gvl"])
-            evl_all = evl_all.at[:, ii - 1, isub].set(st["evl"])
-            ivl_all = ivl_all.at[:, ii - 1, isub].set(st["ivl"])
+        st = _segment_walk_fast(ii, ft, st, dz0, c, use_emis, method)
+        for s in range(N_SUB):
+            gvl_all = gvl_all.at[:, ii - 1, s].set(st["out_g"][s])
+            evl_all = evl_all.at[:, ii - 1, s].set(st["out_e"][s])
+            ivl_all = ivl_all.at[:, ii - 1, s].set(st["out_i"][s])
         px, py = st["px"], st["py"]
         sx, sy, sz = st["sx"], st["sy"], st["sz"]
         escaped = st["esc"]
