@@ -43,6 +43,14 @@ from raytrace_tpu.structures import RayGain
 
 __all__ = ["FastTables", "pack_fast_tables", "trace_batch_fast", "is_uniform"]
 
+#: micro-steps executed per inner while round (see fl_body)
+FL_UNROLL = 2
+
+#: when True, trace_batch_fast returns (result, {"l0": .., "fl": ..}) with
+#: the executed outer (cell-fetch) and inner (micro-step) loop round counts
+#: -- a tuning diagnostic, not used in production paths
+DEBUG_COUNTERS = False
+
 f32 = jnp.float32
 XPAD = 128  # one-hot width; requires Nx-1 <= 128 x-cells
 
@@ -167,6 +175,7 @@ def _segment_walk_fast(seg_idx: int, ft: FastTables, st0, dz0: float,
         p_x, p_y = st["px"], st["py"]
         s_x, s_y, s_z = st["sx"], st["sy"], st["sz"]
         act0 = ~(st["esc"] | (st["iz"] >= N_SUB))
+        n_l0 = st["n_l0"] + 1 if "n_l0" in st else None
         # ---- sub-length advance: z passed 0.995*z_stop(iz) ---------------
         iz = st["iz"]
         adv = act0 & (st["z"] >= f32(0.995) * zs_of(iz))
@@ -267,7 +276,7 @@ def _segment_walk_fast(seg_idx: int, ft: FastTables, st0, dz0: float,
         def fl_cond(s1):
             return jnp.any(s1["act"])
 
-        def fl_body(s1):
+        def fl_one_step(s1):
             a1 = s1["act"]
             # one adaptive micro-step (propagate body,
             # RayTraceImageHelper.h:279-311)
@@ -344,22 +353,40 @@ def _segment_walk_fast(seg_idx: int, ft: FastTables, st0, dz0: float,
                 "act": a1 & (l2_ok | reinit),
             }
 
+        def fl_body(s1):
+            # several micro-steps per while round: the loop is bounded by a
+            # small tail of slow rays (near-axis rays with strong transverse
+            # gradients take hundreds of micro-steps), so per-round overhead
+            # dominates; unrolling trades masked idle work for rounds
+            counting = "n_fl" in s1
+            if counting:
+                s1 = dict(s1)
+                n_fl_new = s1.pop("n_fl") + 1
+            for _ in range(FL_UNROLL):
+                s1 = fl_one_step(s1)
+            if counting:
+                s1["n_fl"] = n_fl_new
+            return s1
+
         zero = jnp.zeros_like(p_x)
         y20 = jnp.where(absy, jnp.abs(p_y), p_y) if absy else p_y
         l1a0 = work & ((p_x > exlo) & (p_x < exhi) & (y20 > eylo)
                        & (y20 < eyhi) & (zero < f32(0.999) * dz2))
         n0_0, dndx_0, dndy_0, box2_0 = interp_cell(p_x, p_y, zero)
-        l1 = jax.lax.while_loop(fl_cond, fl_body, {
+        fl_init = {
             "px": p_x, "py": p_y, "pz": zero, "sx": s_x, "sy": s_y,
             "sz": s_z, "z2": zero, "ds": zero,
             "rx": zero, "ry": zero, "rz": zero, "path": zero,
             "n0": n0_0, "dndx": dndx_0, "dndy": dndy_0, "box2": box2_0,
-            "n_lag": n0_0, "act": l1a0})
+            "n_lag": n0_0, "act": l1a0}
+        if n_l0 is not None:
+            fl_init["n_fl"] = jnp.int32(0)
+        l1 = jax.lax.while_loop(fl_cond, fl_body, fl_init)
 
         sel = lambda p, q: jnp.where(work, p, q)
         nz = sel(st["z"] + jnp.abs(l1["pz"]), st["z"])
         i1 = k1m1 + k2m1 * nx_t
-        return {
+        ret = {
             "px": sel(l1["px"], p_x), "py": sel(l1["py"], p_y),
             "sx": sel(l1["sx"], s_x), "sy": sel(l1["sy"], s_y),
             "sz": sel(l1["sz"], s_z), "z": nz, "esc": esc, "iz": iz,
@@ -368,6 +395,10 @@ def _segment_walk_fast(seg_idx: int, ft: FastTables, st0, dz0: float,
             "ivl": jnp.where(work, i1, ivl_cur),
             "out_g": out_g, "out_e": out_e, "out_i": out_i,
         }
+        if n_l0 is not None:
+            ret["n_l0"] = n_l0
+            ret["n_fl"] = st["n_fl"] + l1["n_fl"]
+        return ret
 
     return jax.lax.while_loop(l0_cond, l0_body, dict(st0))
 
@@ -396,6 +427,7 @@ def trace_batch_fast(rays, N: int, dz0: float, ft: FastTables, method: int,
 
     zerosf = jnp.zeros((B,), jnp.float32)
     zerosi = jnp.zeros((B,), jnp.int32)
+    _counters = {}
     for i in range(nseg):
         ii = N - i - 1 if method == 1 else i + 1
         st = {
@@ -406,7 +438,13 @@ def trace_batch_fast(rays, N: int, dz0: float, ft: FastTables, method: int,
             "out_e": (zerosf,) * N_SUB,
             "out_i": (zerosi,) * N_SUB,
         }
+        if DEBUG_COUNTERS:
+            st["n_l0"] = jnp.int32(0)
+            st["n_fl"] = jnp.int32(0)
         st = _segment_walk_fast(ii, ft, st, dz0, c, use_emis, method)
+        if DEBUG_COUNTERS:
+            _counters["l0"] = _counters.get("l0", 0) + st["n_l0"]
+            _counters["fl"] = _counters.get("fl", 0) + st["n_fl"]
         for s in range(N_SUB):
             gvl_all = gvl_all.at[:, ii - 1, s].set(st["out_g"][s])
             evl_all = evl_all.at[:, ii - 1, s].set(st["out_e"][s])
@@ -420,6 +458,9 @@ def trace_batch_fast(rays, N: int, dz0: float, ft: FastTables, method: int,
               * f32(1e3))
     exit_b = (jnp.arctan((sy / sz).astype(jnp.float64)).astype(jnp.float32)
               * f32(1e3))
-    return TraceResult(gvl=gvl_all, evl=evl_all, ivl=ivl_all,
-                       exit_x=px, exit_y=py, exit_a=exit_a, exit_b=exit_b,
-                       escaped=escaped, perp=perp)
+    result = TraceResult(gvl=gvl_all, evl=evl_all, ivl=ivl_all,
+                         exit_x=px, exit_y=py, exit_a=exit_a, exit_b=exit_b,
+                         escaped=escaped, perp=perp)
+    if DEBUG_COUNTERS:
+        return result, dict(_counters)
+    return result
