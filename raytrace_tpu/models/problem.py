@@ -21,14 +21,14 @@ benchmark protocol, matching the reference's per-call re-upload semantics
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional  # noqa: F401 (Optional in annotations)
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from raytrace_tpu.ops import interp
-from raytrace_tpu.structures import CreateImageProblem, RayGain, RaySeed
+from raytrace_tpu.structures import RayGain, RaySeed
 
 __all__ = ["DeviceGain", "DeviceSeed", "DeviceBeam", "prepare_gain", "prepare_seed",
            "prepare_beam"]

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from raytrace_tpu.models.problem import (
-    DeviceBeam, DeviceGain, prepare_beam, prepare_gain, prepare_seed,
+    DeviceBeam, prepare_gain, prepare_seed,
 )
 from raytrace_tpu.ops import binning, fast_stepper, seed as seed_ops, spectrum, stepper
 from raytrace_tpu.structures import CreateImageProblem

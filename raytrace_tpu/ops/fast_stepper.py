@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from raytrace_tpu.ops.stepper import TraceResult, _Ray, _propagate_loop, N_SUB
+from raytrace_tpu.ops.stepper import TraceResult, N_SUB
 from raytrace_tpu.structures import RayGain
 
 __all__ = ["FastTables", "pack_fast_tables", "trace_batch_fast", "is_uniform"]
