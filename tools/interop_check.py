@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Bidirectional interop check against the reference C++ binary.
+
+Direction 1 (their files -> us): tests/test_golden.py + the bench harness
+validate this framework against the goldens embedded in the shipped
+snapshots.
+
+Direction 2 (our files -> them): this script computes images for synthetic
+problems, embeds them as goldens in `.dat` files written by our serializer,
+and runs the reference `CreateImage` binary on them -- the reference then
+re-computes and applies its own 5e-6 norm gate against OUR goldens.
+
+Usage:
+    python tools/interop_check.py /path/to/reference/CreateImage [workdir]
+
+Last verified result (TPU v5e, 2026-08-16): "All tests passed" for both the
+ASE and the seeded synthetic problems.
+
+Building the reference binary (CPU-only) from the read-only checkout:
+
+    echo '#define COMPILER_FEATURES_H' > CompilerFeatures.h
+    g++ -O3 -std=c++11 -DDISABLE_WRITE_FAILED_RAYS -include functional \\
+        -I. -I$REF/src -I$REF/src/common \\
+        $REF/src/CreateImage.cpp $REF/src/CreateImageHelpers.cpp \\
+        $REF/src/RayTraceImage.cpp $REF/src/RayTraceImageCPU.cpp \\
+        $REF/src/RayTraceStructures.cpp $REF/src/AtomicModel/interp.cpp \\
+        $REF/src/utilities/RayUtilities.cpp -o CreateImage -lpthread
+"""
+
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+
+def main():
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 1
+    binary = sys.argv[1]
+    workdir = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(tempfile.mkdtemp())
+    workdir.mkdir(parents=True, exist_ok=True)
+
+    from raytrace_tpu import create_image
+    from raytrace_tpu.io.loader import save_input
+    from raytrace_tpu.testing import synthetic_problem
+
+    files = []
+    for name, kwargs in (("interop_ase.dat", dict(nx=16, ny=8, na=8, nb=6, nv=10)),
+                         ("interop_seed.dat", dict(nx=10, ny=6, na=6, nb=5,
+                                                   nv=8, seeded=True))):
+        p = synthetic_problem(**kwargs)
+        img, ang = create_image(p, "lax")
+        p.image = img
+        p.I_ang = ang
+        path = workdir / name
+        save_input(path, p)
+        files.append(path)
+        print(f"wrote {path} (golden embedded from this framework)")
+
+    failures = 0
+    for path in files:
+        out = subprocess.run([binary, "-methods=cpu", "-iterations=2",
+                              str(path)], capture_output=True, text=True)
+        passed = "All tests passed" in out.stdout
+        print(f"{path.name}: {'PASS' if passed else 'FAIL'}")
+        if not passed:
+            print(out.stdout[-800:])
+            failures += 1
+    return failures
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
