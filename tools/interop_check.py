@@ -27,10 +27,13 @@ Building the reference binary (CPU-only) from the read-only checkout:
         $REF/src/utilities/RayUtilities.cpp -o CreateImage -lpthread
 """
 
+import os
 import subprocess
 import sys
 import tempfile
 from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
