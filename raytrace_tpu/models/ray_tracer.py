@@ -370,7 +370,7 @@ def _resolve_backend(name: str, uniform: bool) -> str:
 
 def create_image(problem: CreateImageProblem, compute_method: str = "auto",
                  chunk_size: int | None = None, spectrum_dtype=jnp.float32,
-                 c: float = 0.5,
+                 c: float = 0.5, deposit: str = "auto",
                  failed_ray_path: str = "Failed_RayTrace_rays.dat",
                  ) -> tuple[np.ndarray, np.ndarray]:
     """Compute the near-field image and far-field angular image.
@@ -468,9 +468,12 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     Nt = dims[0] * dims[1] * dims[2] * dims[3]
     skip = problem.N_parallel
     B_total = len(range(problem.N_start, Nt, skip)) if problem.N_start < Nt else 0
-    # dense deposit applies when the worker owns the full natural-order grid
+    # the dense (pure-reduction) deposit applies when the worker owns the
+    # full natural-order grid; measured slower than the f32 scatter at the
+    # divergence-optimal small chunk sizes, so scatter is the default and
+    # dense stays available via deposit="dense"
     dense = (method == 1 and problem.N_start == 0 and problem.N_parallel == 1
-             and B_total == Nt)
+             and B_total == Nt and deposit == "dense")
     blk = dims[2] * dims[3]
     if chunk_size is None:
         # smaller chunks bound the batched while-loop divergence (better

@@ -9,16 +9,15 @@ The reference's multi-device story (SURVEY.md section 2.4):
   (src/RayTraceStructures.cpp:1603-1646).
 
 TPU-native equivalent: rays are stride-decomposed across a 1-D mesh exactly
-like the MPI contract (device d of D takes rays d, d+D, 2D, ...), each device
-runs the same trace/amplify/bin pipeline on its shard under ``shard_map``,
-and the partial images meet in a ``jax.lax.psum`` that rides ICI. A 1-device
-mesh degrades to the serial path (the no-MPI shim analogue).
+like the MPI contract (device d of D takes rays d, d+D, 2D, ...); each device
+runs the whole chunked scan pipeline on its shard, and the accumulated
+images meet in a single ``jax.lax.psum`` riding ICI at the end of the call.
+A 1-device mesh degrades to the serial path (the no-MPI shim analogue).
 """
 
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -27,8 +26,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from raytrace_tpu.models import ray_tracer
-from raytrace_tpu.models.problem import prepare_beam, prepare_gain, prepare_seed
-from raytrace_tpu.ops import fast_stepper, seed as seed_ops, stepper
+from raytrace_tpu.models.problem import prepare_gain, prepare_seed
+from raytrace_tpu.ops import fast_stepper, stepper
 from raytrace_tpu.parallel.mesh import RAY_AXIS
 from raytrace_tpu.structures import CreateImageProblem
 from raytrace_tpu.utils import errors as err_util
@@ -40,68 +39,75 @@ _SHARDED_CACHE: dict = {}
 
 
 def make_sharded_pipeline(cfg: dict, trace_fn, mesh: Mesh):
-    """Jitted sharded chunk step.
+    """Jitted sharded whole-call pipeline.
 
-    Ray indices are generated on device per shard: device d of D takes the
-    stride indices it = lo + d, lo + d + D, ... exactly like the reference's
-    MPI N_start/N_parallel contract nested inside the problem-level stride.
-    Tables are replicated; images meet in a psum.
+    Each device scans its chunks with device-strided on-device ray indices
+    (it = ci*chunk + d + j*D inside chunk windows), accumulating partial
+    images; one psum reduces at the end (the MPI_Allreduce analogue).
     """
     D = mesh.size
     dims = cfg["dims"]
     Nt = dims[0] * dims[1] * dims[2] * dims[3]
     offset = cfg["N_start"]
     skip = cfg["N_parallel"]
-    chunk = cfg["chunk"]
+    chunk = cfg["chunk"]           # global rays per scan step
     per_dev = chunk // D
+    n_chunks = cfg["n_chunks"]
+    K = cfg["K"]
     it_max = Nt // skip
 
-    def worker(it0, ray_grids, trace_tables, gv_tables, dseed, beam):
+    def worker(pack, trace_tables, gv_tables, dseed):
         d = jax.lax.axis_index(RAY_AXIS).astype(jnp.int64)
-        it = it0 + d + jnp.arange(per_dev, dtype=jnp.int64) * D
-        ijkm = offset + it * skip
-        valid = (it <= it_max) & (ijkm < Nt)
-        ijkm = jnp.where(valid, ijkm, 0)
-        img_p, ang_p, code = ray_tracer.chunk_core(
-            cfg, trace_fn, ijkm, valid, ray_grids, trace_tables, gv_tables,
-            dseed, beam)
-        # image reduction over ICI -- the psum analogue of the reference's
-        # MPI_Allreduce(DOUBLE, SUM) image reduce
-        img = jax.lax.psum(img_p, RAY_AXIS)
-        ang = jax.lax.psum(ang_p, RAY_AXIS)
-        bits3 = jnp.stack([
-            jnp.any(code == -1), jnp.any(code == -2), jnp.any(code == -3)])
-        bits3 = jax.lax.psum(bits3.astype(jnp.int32), RAY_AXIS)
-        return img, ang, bits3, code
+        ray_grids, beam, dseed_u = ray_tracer.unpack_bundle(cfg, pack)
+        if dseed_u is None:
+            dseed_u = dseed
+        image0 = jnp.zeros((dims[0] * dims[1] if False else cfg["img_cells"],
+                            K), dtype=jnp.float64)
+        iang0 = jnp.zeros((cfg["na_nb"],), dtype=jnp.float64)
+
+        def body(carry, ci):
+            image_acc, iang_acc, fail3 = carry
+            it = (ci.astype(jnp.int64) * chunk + d
+                  + jnp.arange(per_dev, dtype=jnp.int64) * D)
+            ijkm = offset + it * skip
+            valid = (it <= it_max) & (ijkm < Nt)
+            ijkm = jnp.where(valid, ijkm, 0)
+            img_p, ang_p, code = ray_tracer.chunk_core(
+                cfg, trace_fn, ijkm, valid, ray_grids, trace_tables,
+                gv_tables, dseed_u, beam)
+            bits3 = jnp.stack([jnp.any(code == -1), jnp.any(code == -2),
+                               jnp.any(code == -3)]).astype(jnp.int32)
+            return (image_acc + img_p, iang_acc + ang_p, fail3 + bits3), code
+
+        (image, i_ang, fail3), codes = jax.lax.scan(
+            body, (image0, iang0, jnp.zeros((3,), jnp.int32)),
+            jnp.arange(n_chunks, dtype=jnp.int32))
+        # single end-of-call image reduction over ICI -- the psum analogue of
+        # the reference's MPI_Allreduce(DOUBLE, SUM)
+        image = jax.lax.psum(image, RAY_AXIS)
+        i_ang = jax.lax.psum(i_ang, RAY_AXIS)
+        fail3 = jax.lax.psum(fail3, RAY_AXIS)
+        return image, i_ang, fail3, codes
 
     sharded = shard_map(
         worker, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P(RAY_AXIS)),
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(None, RAY_AXIS)),
         check_vma=False,
     )
-
-    @jax.jit
-    def run(image_acc, iang_acc, fail3_acc, it0, ray_grids,
-            trace_tables, gv_tables, dseed, beam):
-        img, ang, bits3, code = sharded(it0, ray_grids, trace_tables,
-                                        gv_tables, dseed, beam)
-        return image_acc + img, iang_acc + ang, fail3_acc + bits3, code
-
-    return run
+    return jax.jit(sharded)
 
 
 def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
                          compute_method: str = "auto",
-                         chunk_size: int = 524288,
+                         chunk_size: int | None = None,
                          spectrum_dtype=jnp.float32, c: float = 0.5,
                          failed_ray_path: str = "Failed_RayTrace_rays.dat",
                          ) -> tuple[np.ndarray, np.ndarray]:
     """Multi-chip create_image over a ray-sharded mesh.
 
-    Every device computes a stride-decomposed share of the rays; the returned
-    images are the psum-reduced totals (identical on every device), matching
-    the single-device result to float64 summation order.
+    Every device computes a stride-decomposed share of the rays; the
+    returned images are the psum-reduced totals (identical on every device).
     """
     beam = problem.euv_beam
     D = mesh.size
@@ -119,6 +125,8 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
     use_emis = problem.gain[0].E0 is not None and problem.seed is None
     uniform = fast_stepper.is_uniform(problem.gain)
     backend = ray_tracer._resolve_backend(compute_method, uniform)
+    if backend == "pallas":
+        backend = "lax"
     K = beam.nv
     nx, ny, na, nb = beam.nx, beam.ny, beam.na, beam.nb
 
@@ -133,36 +141,42 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
         trace_tables = prepare_gain(problem.gain)
         fast_meta = None
         gv_tables = trace_tables.gv[1:]
-    beam_dev = prepare_beam(beam)
-    if problem.seed is None:
-        seed_dev = None
-    else:
-        seed_full = prepare_seed(problem.seed)
+
+    entry_seed_host = None
+    seed_dev = None
+    seed_f0 = 0.0
+    if problem.seed is not None:
         if method == 2:
-            seed_dev = seed_ops.make_entry_seed_tables(
-                seed_full, (src.x, src.y, src.a, src.b), K)
+            entry_seed_host = ray_tracer._entry_seed_host(problem.seed, src, K)
+            seed_f0 = float(problem.seed.f0)
         else:
-            seed_dev = seed_full
-    ray_grids = tuple(jnp.asarray(np.asarray(g, np.float64))
-                      for g in (src.x, src.y, src.a, src.b))
+            seed_dev = prepare_seed(problem.seed)
+    pack, pack_layout, beam_scalars = ray_tracer.make_bundle_pack(
+        beam, src, entry_seed_host)
 
     Nt = dims[0] * dims[1] * dims[2] * dims[3]
     skip = problem.N_parallel
     B_total = len(range(problem.N_start, Nt, skip)) if problem.N_start < Nt else 0
-    # chunk must split evenly across devices
+    if chunk_size is None:
+        chunk_size = 16384 if B_total < 2_000_000 else 32768
     chunk = min(chunk_size, max(B_total, 1))
     chunk = max(D, (chunk // D) * D)
+    n_chunks = math.ceil(B_total / chunk) if B_total else 0
 
     cfg_key = ("sharded", id(mesh), backend, problem.N, float(beam.dz), K,
                method, use_emis, dims, float(scale),
-               str(jnp.dtype(spectrum_dtype)), float(c), chunk,
-               problem.N_start, problem.N_parallel, fast_meta)
+               str(jnp.dtype(spectrum_dtype)), float(c), chunk, n_chunks,
+               problem.N_start, problem.N_parallel, fast_meta, pack_layout,
+               beam_scalars, seed_f0)
     if cfg_key not in _SHARDED_CACHE:
         cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                    use_emis=use_emis, dims=dims, scale=float(scale),
                    spectrum_dtype=spectrum_dtype, c=float(c), dense=False,
-                   chunk=chunk, N_start=problem.N_start,
-                   N_parallel=problem.N_parallel, fast_meta=fast_meta)
+                   chunk=chunk, n_chunks=n_chunks, na_nb=na * nb,
+                   img_cells=nx * ny, N_start=problem.N_start,
+                   N_parallel=problem.N_parallel, fast_meta=fast_meta,
+                   pack_layout=pack_layout, beam_scalars=beam_scalars,
+                   seed_f0=seed_f0)
         if backend == "lax":
             meta, nch, nyc = fast_meta
 
@@ -179,20 +193,9 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
         _SHARDED_CACHE[cfg_key] = make_sharded_pipeline(cfg, trace_fn, mesh)
     pipeline = _SHARDED_CACHE[cfg_key]
 
-    image = jnp.zeros((nx * ny, K), dtype=jnp.float64)
-    i_ang = jnp.zeros((na * nb,), dtype=jnp.float64)
-    fail3 = jnp.zeros((3,), dtype=jnp.int32)
-
-    n_chunks = math.ceil(B_total / chunk) if B_total else 0
-    codes_chunks = []
-    for ci in range(n_chunks):
-        lo = ci * chunk
-        image, i_ang, fail3, codes = pipeline(
-            image, i_ang, fail3, jnp.int64(lo), ray_grids, trace_tables,
-            gv_tables, seed_dev, beam_dev)
-        codes_chunks.append((lo, codes))
-    image.block_until_ready()
-    fail3_np = np.asarray(fail3)
+    image_d, iang_d, fail3_d, codes_d = pipeline(pack, trace_tables,
+                                                 gv_tables, seed_dev)
+    image, i_ang, fail3_np = jax.device_get((image_d, iang_d, fail3_d))
     profiler.stop("create_image-sharded")
 
     if np.any(fail3_np > 0):
@@ -201,20 +204,19 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
             if cnt > 0:
                 bits = err_util.set_bit(bpos, bits)
         failed = []
-        for lo, codes in codes_chunks:
-            codes = np.asarray(codes)
-            for bidx in np.nonzero(codes < 0)[0][: err_util.N_FAILED_MAX]:
-                # shard s, slot r -> it = lo + (bidx % per_dev)*D + s ... the
-                # gathered codes are concatenated per shard
-                per_dev = chunk // D
-                s, r = divmod(int(bidx), per_dev)
-                it = lo + s + r * D
-                gidx = problem.N_start + it * problem.N_parallel
-                gi, gj, gk, gm = (np.asarray(v) for v in
-                                  ray_tracer._unflatten_rays(
-                                      jnp.asarray(gidx), dims))
-                failed.append(np.array(
-                    [src.x[gi], src.y[gj], src.a[gk], src.b[gm]], np.float32))
+        codes = np.asarray(codes_d)  # [n_chunks, chunk], device-major columns
+        per_dev = chunk // D
+        for ci, bidx in zip(*np.nonzero(codes < 0)):
+            dev, r = divmod(int(bidx), per_dev)
+            it = int(ci) * chunk + dev + r * D
+            gidx = problem.N_start + it * problem.N_parallel
+            gi, gj, gk, gm = (np.asarray(v) for v in
+                              ray_tracer._unflatten_rays(jnp.asarray(gidx),
+                                                         dims))
+            failed.append(np.array(
+                [src.x[gi], src.y[gj], src.a[gk], src.b[gm]], np.float32))
+            if len(failed) >= err_util.N_FAILED_MAX:
+                break
         for msg in err_util.failure_messages(bits):
             print(msg)
         err_util.write_failures(failed_ray_path, bits, np.array(failed),

@@ -84,11 +84,17 @@ def test_dense_multi_chunk_matches_single_chunk():
     """Regression: the dense deposit's dynamic row window must not clamp on
     the final partial chunk (chunk smaller than the image rows)."""
     p1 = synthetic_problem(nx=10, ny=7, na=5, nb=4)
-    img1, ang1 = create_image(p1, "lax", chunk_size=10 * 7 * 5 * 4)
+    img1, ang1 = create_image(p1, "lax", chunk_size=10 * 7 * 5 * 4,
+                              deposit="dense")
     p2 = synthetic_problem(nx=10, ny=7, na=5, nb=4)
-    img2, ang2 = create_image(p2, "lax", chunk_size=3 * 5 * 4 + 5)  # unaligned
+    img2, ang2 = create_image(p2, "lax", chunk_size=3 * 5 * 4 + 5,
+                              deposit="dense")  # unaligned chunks
     assert np.linalg.norm(img1 - img2) / np.linalg.norm(img1) < 1e-12
     assert np.linalg.norm(ang1 - ang2) / np.linalg.norm(ang1) < 1e-12
+    # scatter and dense deposits agree at f32 summation level
+    p3 = synthetic_problem(nx=10, ny=7, na=5, nb=4)
+    img3, ang3 = create_image(p3, "lax", deposit="scatter")
+    assert np.linalg.norm(img1 - img3) / np.linalg.norm(img1) < 2e-6
 
 
 def test_spectrum_f32_close_to_f64():
