@@ -16,11 +16,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_INPUT = "/root/reference/ASE_small.dat"
-BASELINE_RAYS_PER_SEC = 399000 / 1.793  # reference CPU binary on this host
+SEED_INPUT = "/root/reference/seed_small.dat"
+BASELINE_RAYS_PER_SEC = 399000 / 1.793   # reference CPU binary on this host
+SEED_BASELINE_RAYS_PER_SEC = 7803000 / 25.261
 
 
 def main():
-    import numpy as np
     from raytrace_tpu import create_image, load_input
     from raytrace_tpu.utils.stats import check_ans
 
@@ -40,6 +41,26 @@ def main():
     rays_per_sec = n_rays / avg
 
     ok = check_ans(image0, i_ang0, image, i_ang, verbose=False)
+
+    # auxiliary: the seeded workload (7.8M rays)
+    seed_stats = {}
+    if os.path.exists(SEED_INPUT):
+        sp, simg0, sang0 = load_input(SEED_INPUT)
+        simg, sang = create_image(sp, "lax")
+        st = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            simg, sang = create_image(sp, "lax")
+            st.append(time.perf_counter() - t0)
+        savg = sum(st) / len(st)
+        seed_stats = {
+            "seed_small_rays_per_sec": round(7803000 / savg, 1),
+            "seed_small_vs_baseline": round(
+                (7803000 / savg) / SEED_BASELINE_RAYS_PER_SEC, 3),
+            "seed_small_golden_check": bool(
+                check_ans(simg0, sang0, simg, sang, verbose=False)),
+        }
+
     result = {
         "metric": "ase_small_rays_per_sec",
         "value": round(rays_per_sec, 1),
@@ -47,6 +68,7 @@ def main():
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
         "avg_seconds_per_call": round(avg, 4),
         "golden_check": bool(ok),
+        **seed_stats,
     }
     print(json.dumps(result))
 
