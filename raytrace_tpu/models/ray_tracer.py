@@ -185,6 +185,15 @@ def chunk_core(cfg: dict, trace_fn, ijkm, valid, ray_grids, trace_tables,
     return img_p, ang_p, code
 
 
+def _stack_gv(gains, K):
+    """Lineshape tables for segments 1..N-1 (segment 0 is never read); a
+    single zero row keeps shapes valid for N=1 (no segments)."""
+    if len(gains) <= 1:
+        return jnp.zeros((1, 1, K), dtype=jnp.float32)
+    return jnp.asarray(np.stack([
+        np.asarray(g.gv, np.float32).reshape(-1, K) for g in gains[1:]]))
+
+
 def _entry_seed_host(seed, src, K):
     """Host-side per-axis seed factor tables at the entry grid points (the
     numpy companion of seed_ops.make_entry_seed_tables, feeding the packed
@@ -357,11 +366,23 @@ BACKENDS["lax"] = _lax_fast_factory
 BACKENDS["pallas"] = _pallas_factory
 
 
+#: drop-in aliases for the reference's compute_method names
+#: (src/RayTraceImage.cpp:333-423): every reference backend maps onto the
+#: XLA dispatch; "cuda"-class methods map to the Pallas kernel
+_METHOD_ALIASES = {
+    "cpu": "lax-exact", "threads": "lax", "openmp": "lax",
+    "kokkos-serial": "lax-exact", "kokkos-openmp": "lax",
+    "kokkos-thread": "lax", "kokkos-cuda": "pallas",
+    "cuda": "pallas", "cuda-multigpu": "pallas", "openacc": "lax",
+}
+
+
 def _resolve_backend(name: str, uniform: bool) -> str:
     name = name.lower()
+    name = _METHOD_ALIASES.get(name, name)
     if name == "auto":
         name = "lax" if uniform else "lax-exact"
-    if name == "lax" and not uniform:
+    if name in ("lax", "pallas") and not uniform:
         name = "lax-exact"
     if name not in BACKENDS:
         raise err_util.RayTraceError(f"Unknown method: {name}")
@@ -430,9 +451,7 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         trace_tables = ft.tx
         fast_meta = (ft.meta, ft.nch, ft.ny_cells)
         # the spectrum only needs the lineshape rows of segments 1..N-1
-        gv_tables = jnp.asarray(np.stack([
-            np.asarray(g.gv, np.float32).reshape(-1, K_)
-            for g in problem.gain[1:]]))
+        gv_tables = _stack_gv(problem.gain, K_)
     elif backend == "pallas":
         from raytrace_tpu.ops import pallas_kernel as pk
         pg = pk.pack_gain_tables(problem.gain, use_emis)
@@ -442,9 +461,7 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
                        ("dyc", pg.dyc), ("nx", pg.nx), ("ny", pg.ny),
                        ("absy", pg.absy),
                        ("range4", tuple(tuple(r) for r in pg.range4)))
-        gv_tables = jnp.asarray(np.stack([
-            np.asarray(g.gv, np.float32).reshape(-1, K_)
-            for g in problem.gain[1:]]))
+        gv_tables = _stack_gv(problem.gain, K_)
     else:
         trace_tables = prepare_gain(problem.gain)
         fast_meta = None

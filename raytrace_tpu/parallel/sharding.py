@@ -134,9 +134,7 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
         ft = fast_stepper.pack_fast_tables(problem.gain, use_emis)
         trace_tables = ft.tx
         fast_meta = (ft.meta, ft.nch, ft.ny_cells)
-        gv_tables = jnp.asarray(np.stack([
-            np.asarray(g.gv, np.float32).reshape(-1, K)
-            for g in problem.gain[1:]]))
+        gv_tables = ray_tracer._stack_gv(problem.gain, K)
     else:
         trace_tables = prepare_gain(problem.gain)
         fast_meta = None

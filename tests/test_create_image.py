@@ -183,3 +183,21 @@ def test_calc_ray_path_api():
     assert np.ptp(xr[0, 0, 0, 0]) > 0
     # running intensity is finite and non-negative at the last station
     assert np.all(np.isfinite(ir)) and ir[..., -1].min() >= 0
+
+
+def test_single_segment_problem():
+    """N=1 means no propagation segments: image is just the (zero) seedless
+    spectrum -- the pipeline must not crash on the empty-loop edge."""
+    p = synthetic_problem(N=1)
+    img, ang = create_image(p, "lax")
+    assert img.shape == (p.euv_beam.nx * p.euv_beam.ny * p.euv_beam.nv,)
+    assert np.all(img == 0.0) and np.all(ang == 0.0)
+
+
+def test_reference_method_aliases():
+    """The reference's compute_method names are accepted as aliases."""
+    p = synthetic_problem()
+    img_cpu, _ = create_image(p, "cpu")       # -> lax-exact
+    p2 = synthetic_problem()
+    img_thr, _ = create_image(p2, "threads")  # -> lax
+    assert np.linalg.norm(img_cpu - img_thr) / np.linalg.norm(img_cpu) < 2e-3
