@@ -494,8 +494,13 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     blk = dims[2] * dims[3]
     if chunk_size is None:
         # smaller chunks bound the batched while-loop divergence (better
-        # x-locality) but add scan steps; measured sweet spots per scale
-        chunk_size = 16384 if B_total < 2_000_000 else 32768
+        # x-locality) but add scan steps; measured sweet spots per scale.
+        # pallas runs per-(8,128)-tile trip counts, so divergence is bounded
+        # by the tile, not the chunk -- bigger chunks amortize better there.
+        if backend == "pallas":
+            chunk_size = 32768 if B_total < 2_000_000 else 65536
+        else:
+            chunk_size = 16384 if B_total < 2_000_000 else 32768
     chunk = min(chunk_size, max(B_total, 1))
     if dense:
         chunk = max(blk, (chunk // blk) * blk)
