@@ -381,7 +381,12 @@ def _resolve_backend(name: str, uniform: bool) -> str:
     name = name.lower()
     name = _METHOD_ALIASES.get(name, name)
     if name == "auto":
-        name = "lax" if uniform else "lax-exact"
+        # pallas (in-kernel loop nest) is fastest on TPU for both workload
+        # families; lax is the portable XLA path everywhere else
+        if uniform and jax.default_backend() == "tpu":
+            name = "pallas"
+        else:
+            name = "lax" if uniform else "lax-exact"
     if name in ("lax", "pallas") and not uniform:
         name = "lax-exact"
     if name not in BACKENDS:
