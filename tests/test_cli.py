@@ -1,0 +1,62 @@
+"""End-to-end harness tests: the CLI mirrors the reference's CreateImage
+driver (src/CreateImage.cpp): per-method golden gates, the -scale path that
+disables them (CreateImage.cpp:156-160), and the timing-stability gates
+(CreateImage.cpp:174-181)."""
+
+import numpy as np
+import pytest
+
+from raytrace_tpu import create_image
+from raytrace_tpu.io.loader import save_input
+from raytrace_tpu.testing import synthetic_problem
+from raytrace_tpu.utils import cli
+from raytrace_tpu.utils.errors import RayTraceError
+from raytrace_tpu.utils.stats import TimingStats, stability_errors
+
+
+@pytest.fixture(scope="module")
+def golden_file(tmp_path_factory):
+    """A synthetic .dat with this framework's own output embedded as the
+    golden, exactly how production inputs carry theirs."""
+    p = synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6)
+    img, ang = create_image(p, "lax")
+    p.image = img
+    p.I_ang = ang
+    path = tmp_path_factory.mktemp("cli") / "synthetic.dat"
+    save_input(path, p)
+    return str(path)
+
+
+def test_cli_end_to_end(golden_file, capsys):
+    rc = cli.main(["-methods=lax,lax-exact", "-iterations=2", golden_file])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "All tests passed" in out
+    assert "lax-exact" in out  # per-method timing table rows
+
+
+def test_cli_scale_disables_golden(golden_file, capsys):
+    # scaled problems have no matching golden; the harness must still run
+    # and pass (the reference skips check_ans when scale != 1)
+    rc = cli.main(["-methods=lax", "-iterations=1", "-scale=0.5", golden_file])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "All tests passed" in out
+
+
+def test_cli_unknown_method(golden_file):
+    with pytest.raises(RayTraceError, match="Unknown method"):
+        cli.main(["-methods=vulkan", "-iterations=1", golden_file])
+
+
+def test_cli_no_files_usage():
+    assert cli.main([]) == 1
+
+
+def test_stability_gates(capsys):
+    # tight timings: no errors
+    assert stability_errors(TimingStats.of([1.0, 1.01, 0.99])) == 0
+    # large spread trips both the 10% stddev and 15% max gates
+    n = stability_errors(TimingStats.of([1.0, 1.0, 2.0]))
+    capsys.readouterr()
+    assert n == 2
