@@ -317,11 +317,12 @@ def _lax_fast_factory(cfg):
 
 
 def _pallas_factory(cfg):
-    """Experimental Pallas TPU kernel backend (ops/pallas_kernel.py): the
-    full loop nest runs per (8,128) ray tile inside one Mosaic kernel, so
-    each tile's trip count is independent. Numerically validated; slow on
-    stacks where tpu.dynamic_gather lowers to a scalar loop (see the module
-    docstring) -- kept as the vehicle for per-tile-divergence experiments.
+    """Pallas TPU kernel backend (ops/pallas_kernel.py) -- the default and
+    fastest backend on TPU (BENCH_r01+): the full loop nest runs per (8,128)
+    ray tile inside one Mosaic kernel with VMEM-resident gain tables, so each
+    tile's trip count is set by its own slowest ray rather than the batch
+    maximum. The TPU analogue of the reference's CUDA path
+    (src/RayTraceImageCuda.cu).
     """
     from raytrace_tpu.ops import pallas_kernel as pk
 

@@ -3,19 +3,27 @@ layer (SURVEY.md section 2.4 P5/P6).
 
 Mapping:
 
+* ``gatherAll`` (MPI_Allgather of per-rank timings, src/MPI_helpers.h:34-38)
+  -> :func:`gather_all`: a real ``jax.lax.all_gather`` over the one-device-
+  per-process rank mesh (see :func:`distributed.process_mesh`);
+* ``sumReduce`` of error counts (src/MPI_helpers.h:29-33)
+  -> :func:`sum_scalar`: a real ``jax.lax.psum`` over the rank mesh;
 * ``intensity_step_struct::sum_reduce`` (MPI_Allreduce DOUBLE SUM over the
   flattened image buffers, src/RayTraceStructures.cpp:1603-1646)
-  -> :func:`sum_reduce` (``jax.lax.psum`` over the ICI mesh inside
-  ``shard_map``) and :func:`host_sum_arrays` for host-side numpy buffers;
-* ``gatherAll`` (MPI_Allgather of per-rank timings, src/MPI_helpers.h:34-38)
-  -> :func:`gather_all`;
-* ``sumReduce`` of error counts (src/MPI_helpers.h:29-33) -> :func:`sum_scalar`;
-* the no-MPI inline shims (src/MPI_helpers.h:41-52) -> every function here
-  degrades to identity on a 1-device mesh or ``mesh=None``.
+  -> :func:`host_sum_arrays`: each rank's *distinct* buffers are placed as
+  that rank's shard of a ``[P, total]`` global array (shard the input, never
+  psum a replica) and reduced with one psum, matching the reference's single
+  flattened Allreduce (RayTraceStructures.cpp:1612-1628);
+* in-shard_map device reductions -> :func:`sum_reduce` (psum over the ray
+  mesh axis, used by parallel.sharding for the image reduce);
+* the no-MPI inline shims (src/MPI_helpers.h:41-52) -> every host-side
+  function degrades to the identity when ``jax.process_count() == 1``.
 
-Process model: unlike MPI (one process per rank), a JAX host controls all
-local devices, so the "rank boundary" is a mesh axis, not a process. For
-multi-host pods the same psum spans DCN automatically via the global mesh.
+Process model: one JAX process = one MPI rank. Each process may drive many
+local devices (the shard_map ray mesh); the rank-level collectives below run
+over a mesh with exactly one device per process so their semantics match
+MPI's. Verified end-to-end by the 2-process CPU harness in
+tests/test_distributed.py + tools/run_distributed.py.
 """
 
 from __future__ import annotations
@@ -23,12 +31,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 from jax import shard_map
 
+from raytrace_tpu.parallel import distributed
 from raytrace_tpu.parallel.mesh import RAY_AXIS
 
-__all__ = ["sum_reduce", "gather_all", "sum_scalar", "host_sum_arrays"]
+__all__ = ["sum_reduce", "gather_all", "sum_scalar", "host_sum_arrays",
+           "mesh_all_gather"]
 
 
 def sum_reduce(tree, axis: str = RAY_AXIS):
@@ -36,58 +46,95 @@ def sum_reduce(tree, axis: str = RAY_AXIS):
     return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis), tree)
 
 
-def gather_all(values, mesh: Mesh | None):
-    """All-gather per-device scalars to every host slot (gatherAll analogue).
+def _rank_collective(local, inner, out_rows):
+    """Run ``inner`` (an all_gather/psum body) over the one-device-per-process
+    rank mesh, with ``local`` as this rank's shard of the [P, n] input."""
+    mesh = distributed.process_mesh()
+    P = jax.process_count()
+    local = np.asarray(local, np.float64).reshape(1, -1)
+    n = local.shape[1]
+    sharding = NamedSharding(mesh, PartitionSpec("rank"))
+    garr = jax.make_array_from_process_local_data(sharding, local, (P, n))
+    fn = jax.jit(shard_map(inner, mesh=mesh,
+                           in_specs=PartitionSpec("rank"),
+                           out_specs=PartitionSpec(), check_vma=False))
+    out = fn(garr)
+    return np.asarray(jax.device_get(out.addressable_data(0))).reshape(out_rows, n)
 
-    ``values``: host list/array with one entry per device (e.g. timings).
-    Returns the concatenated numpy array; identity without a mesh.
+
+def gather_all(values, mesh=None):
+    """All-gather per-rank values (gatherAll analogue, MPI_helpers.h:34-38).
+
+    ``values``: this rank's scalar or 1-D array (e.g. its timing samples).
+    Returns a ``[P, len(values)]`` numpy array with every rank's contribution
+    in rank order; identity (shape ``[1, n]``) when single-process. ``mesh``
+    is accepted for signature compatibility and ignored: rank collectives
+    always run over the process mesh.
     """
     arr = np.atleast_1d(np.asarray(values, dtype=np.float64))
-    if mesh is None or mesh.size <= 1:
-        return arr
+    if jax.process_count() <= 1:
+        return arr.reshape(1, -1)
 
-    @jax.jit
-    def _gather(x):
-        return x  # single-host: devices already share the host's view
+    def inner(x):  # x: [1, n] local shard
+        g = jax.lax.all_gather(x, "rank")  # [P, 1, n]
+        return g.reshape(g.shape[0], -1)
 
-    return np.asarray(_gather(jnp.asarray(arr)))
-
-
-def sum_scalar(value, mesh: Mesh | None):
-    """Sum a host scalar across ranks (sumReduce analogue); identity for a
-    single host."""
-    return value
+    return _rank_collective(arr, inner, jax.process_count())
 
 
-def host_sum_arrays(arrays, mesh: Mesh | None = None):
-    """Sum a list of host numpy buffers across the mesh (the production
-    ``intensity_step_struct::sum_reduce`` contract).
+def sum_scalar(value, mesh=None):
+    """Sum a host scalar across ranks (sumReduce, MPI_helpers.h:29-33);
+    identity when single-process."""
+    if jax.process_count() <= 1:
+        return value
+    out = _rank_collective(np.array([float(value)]),
+                           lambda x: jax.lax.psum(x, "rank"), 1)
+    res = float(out[0, 0])
+    return type(value)(res) if isinstance(value, (int, float)) else res
 
-    The buffers are concatenated into one flat vector like the reference's
-    single MPI_Allreduce (RayTraceStructures.cpp:1612-1628), reduced with a
-    psum over the mesh, and split back.
+
+def host_sum_arrays(arrays, mesh=None):
+    """Elementwise-sum each rank's *distinct* host buffers across ranks (the
+    production ``intensity_step_struct::sum_reduce`` contract,
+    src/RayTraceStructures.cpp:1603-1646).
+
+    ``arrays``: list of this rank's numpy buffers. All ranks must pass the
+    same shapes. The buffers are flattened and concatenated into one vector
+    (like the reference's single MPI_Allreduce), placed as this rank's shard
+    of a [P, total] global array, psum-reduced, and split back. Identity when
+    single-process (the no-MPI shim).
     """
     arrays = [np.asarray(a, np.float64) for a in arrays]
-    if mesh is None or mesh.size <= 1:
+    if jax.process_count() <= 1:
         return arrays
     sizes = [a.size for a in arrays]
-    flat = np.concatenate([a.reshape(-1) for a in arrays])
-
-    @jax.jit
-    def _reduce(x):
-        def inner(v):
-            return jax.lax.psum(v, RAY_AXIS)
-        return shard_map(inner, mesh=mesh, in_specs=PartitionSpec(),
-                         out_specs=PartitionSpec())(x)
-
-    out = np.asarray(_reduce(jnp.asarray(flat)))
-    # replicated input -> psum multiplies by mesh size; divide back so the
-    # semantic is "sum of per-rank values" only when each rank holds its own
-    # distinct buffer. For host-replicated buffers this is the identity sum.
-    out = out / mesh.size
+    flat = np.concatenate([a.reshape(-1) for a in arrays]) if arrays else \
+        np.zeros((0,), np.float64)
+    out = _rank_collective(flat, lambda x: jax.lax.psum(x, "rank"), 1)[0]
     res = []
     off = 0
     for a, s in zip(arrays, sizes):
         res.append(out[off:off + s].reshape(a.shape))
         off += s
     return res
+
+
+def mesh_all_gather(per_device, mesh: Mesh, axis: str = RAY_AXIS):
+    """Device-level all_gather over a shard_map mesh axis: ``per_device`` is
+    a host array with leading dim ``mesh.size`` (one row per device); every
+    device receives the full array. Exposed for mesh-axis aggregation tests;
+    rank-level stats use :func:`gather_all`."""
+    per_device = np.asarray(per_device, np.float64)
+    if mesh is None or mesh.size <= 1:
+        return per_device
+    if per_device.shape[0] != mesh.size:
+        raise ValueError("leading dim must equal mesh.size")
+
+    def inner(x):
+        g = jax.lax.all_gather(x, axis)
+        return g.reshape(g.shape[0] * x.shape[0], *x.shape[1:])
+
+    fn = jax.jit(shard_map(inner, mesh=mesh,
+                           in_specs=PartitionSpec(axis),
+                           out_specs=PartitionSpec(), check_vma=False))
+    return np.asarray(jax.device_get(fn(jnp.asarray(per_device))))

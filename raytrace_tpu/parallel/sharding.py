@@ -202,7 +202,13 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
             if cnt > 0:
                 bits = err_util.set_bit(bpos, bits)
         failed = []
-        codes = np.asarray(codes_d)  # [n_chunks, chunk], device-major columns
+        # codes is sharded over the mesh; on a multi-process mesh only the
+        # local shards are addressable, so assemble what this rank owns (each
+        # rank dumps its own failed rays, like the reference's per-rank
+        # write_failures) -- single-process meshes reconstruct everything
+        codes = np.zeros(codes_d.shape, dtype=np.int32)
+        for sh in codes_d.addressable_shards:
+            codes[sh.index] = np.asarray(sh.data)
         per_dev = chunk // D
         for ci, bidx in zip(*np.nonzero(codes < 0)):
             dev, r = divmod(int(bidx), per_dev)

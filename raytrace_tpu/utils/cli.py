@@ -24,8 +24,17 @@ import numpy as np
 
 from raytrace_tpu.io.loader import load_input
 from raytrace_tpu.models.ray_tracer import create_image
+from raytrace_tpu.parallel import collectives
+from raytrace_tpu.utils.pio import pout
 from raytrace_tpu.utils.stats import TimingStats, check_ans, stability_errors
 from raytrace_tpu.utils.timer import profiler
+
+
+def _gather_times(times):
+    """Pool per-rank timing samples (the gatherAll of per-iteration seconds,
+    src/CreateImage.cpp:147-153 + src/MPI_helpers.h:34-38); stats run over
+    every rank's samples. Identity on single-process runs."""
+    return collectives.gather_all(np.asarray(times, np.float64)).reshape(-1)
 
 __all__ = ["main", "Options", "run_tests"]
 
@@ -61,7 +70,7 @@ def run_tests(filename: str, options: Options) -> int:
     """Benchmark one input file (run_tests, CreateImage.cpp:84-190)."""
     import jax.numpy as jnp
 
-    print(f"\nRunning tests for {filename}\n")
+    pout.write(f"\nRunning tests for {filename}\n\n")
     methods = options.methods or ["lax"]
     sdtype = jnp.float64 if options.spectrum == "f64" else jnp.float32
     n_errors = 0
@@ -69,7 +78,7 @@ def run_tests(filename: str, options: Options) -> int:
     problem, image0, i_ang0 = load_input(filename, options.scale)
     rows = []
     for method in methods:
-        print(f"Running {method}")
+        pout.write(f"Running {method}\n")
         # warmup (JIT compile) run, like the reference's GPU warmup
         warm, w0, w1 = load_input(filename, 0.1)
         create_image(warm, method, spectrum_dtype=sdtype)
@@ -80,7 +89,7 @@ def run_tests(filename: str, options: Options) -> int:
             t0 = time.perf_counter()
             image, i_ang = create_image(problem, method, spectrum_dtype=sdtype)
             times.append(time.perf_counter() - t0)
-        stats = TimingStats.of(times)
+        stats = TimingStats.of(_gather_times(times))
         rows.append((method, stats))
 
         if options.scale == 1.0 and image0 is not None:
@@ -94,7 +103,7 @@ def run_tests(filename: str, options: Options) -> int:
         from raytrace_tpu.parallel.sharding import create_image_sharded
 
         mesh = make_mesh()
-        print(f"Running multichip (mesh size {mesh.size})")
+        pout.write(f"Running multichip (mesh size {mesh.size})\n")
         create_image_sharded(problem, mesh, spectrum_dtype=sdtype)
         times = []
         for _ in range(options.iterations):
@@ -102,16 +111,16 @@ def run_tests(filename: str, options: Options) -> int:
             image, i_ang = create_image_sharded(problem, mesh,
                                                 spectrum_dtype=sdtype)
             times.append(time.perf_counter() - t0)
-        stats = TimingStats.of(times)
+        stats = TimingStats.of(_gather_times(times))
         rows.append((f"multichip[{mesh.size}]", stats))
         if options.scale == 1.0 and image0 is not None:
             if not check_ans(image0, i_ang0, image, i_ang):
                 n_errors += 1
 
-    print(f"\n{'METHOD':>14s} {'Avg':>8s} {'Min':>8s} {'Max':>8s} {'Std Dev':>9s}")
+    pout.write(f"\n{'METHOD':>14s} {'Avg':>8s} {'Min':>8s} {'Max':>8s} {'Std Dev':>9s}\n")
     for method, stats in rows:
-        print(f"{method:>14s} {stats.avg:8.3f} {stats.min:8.3f}"
-              f" {stats.max:8.3f} {stats.std:9.3f}")
+        pout.write(f"{method:>14s} {stats.avg:8.3f} {stats.min:8.3f}"
+                   f" {stats.max:8.3f} {stats.std:9.3f}\n")
     return n_errors
 
 
@@ -123,12 +132,13 @@ def main(argv=None) -> int:
     n_errors = 0
     for filename in options.files:
         n_errors += run_tests(filename, options)
+    # cross-rank error reduction (sumReduce, src/CreateImage.cpp:189)
+    n_errors = int(collectives.sum_scalar(n_errors))
     if n_errors == 0:
-        print("\nAll tests passed")
+        pout.write("\nAll tests passed\n")
     else:
-        print(f"\nSome tests failed ({n_errors} errors)")
-    print()
-    print(profiler.summary())
+        pout.write(f"\nSome tests failed ({n_errors} errors)\n")
+    pout.write("\n" + profiler.summary() + "\n")
     return min(n_errors, 255)
 
 

@@ -1,0 +1,89 @@
+"""Distributed-collectives tests (SURVEY.md section 2.4 P5/P6).
+
+Two tiers:
+
+* single-process: the no-MPI shim behavior (identity, MPI_helpers.h:41-52)
+  and the device-level mesh all_gather on the virtual 8-CPU mesh;
+* multi-process: a real 2-process CPU "cluster" (jax.distributed + Gloo)
+  running tools/run_distributed.py on both ranks -- gather_all returns both
+  ranks' distinct values, sum_scalar/host_sum_arrays reduce across
+  processes, and the sharded-pipeline image psum spans processes.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from raytrace_tpu.parallel import collectives, distributed
+from raytrace_tpu.parallel.mesh import make_mesh
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_single_process_shims():
+    """Without a process group every rank collective is the identity."""
+    assert distributed.rank() == 0
+    assert distributed.size() == 1
+    assert distributed.process_mesh() is None
+    g = collectives.gather_all(np.array([1.5, 2.5]))
+    assert g.shape == (1, 2) and np.allclose(g[0], [1.5, 2.5])
+    assert collectives.sum_scalar(7) == 7
+    arrs = [np.arange(3.0), np.ones((2, 2))]
+    out = collectives.host_sum_arrays(arrs)
+    assert all(np.array_equal(a, b) for a, b in zip(arrs, out))
+    distributed.barrier()  # no-op
+
+
+def test_mesh_all_gather_devices():
+    """Device-level all_gather over the virtual mesh: every row arrives."""
+    mesh = make_mesh(8)
+    per_dev = np.arange(8.0)[:, None] * 10 + np.arange(3.0)[None, :]
+    out = collectives.mesh_all_gather(per_dev, mesh)
+    assert out.shape == (8, 3)
+    assert np.allclose(out, per_dev)
+    # 1-device mesh degrades to identity (the serial shim)
+    m1 = make_mesh(1)
+    one = np.array([[4.0, 5.0]])
+    assert np.allclose(collectives.mesh_all_gather(one, m1), one)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_collectives():
+    """Real cross-process communication: 2 JAX processes on CPU."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tools", "run_distributed.py"),
+             str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=REPO, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out}"
+        assert f"RESULT[{pid}] ALL_PASS" in out, out
+        assert "FAIL" not in out, out

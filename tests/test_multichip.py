@@ -48,8 +48,9 @@ def test_sharded_mesh_sizes():
 
 
 def test_gather_all_identity_without_mesh():
+    # single-process: one rank row holding this rank's values (no-MPI shim)
     out = collectives.gather_all([1.0, 2.0], None)
-    assert np.array_equal(out, [1.0, 2.0])
+    assert out.shape == (1, 2) and np.array_equal(out[0], [1.0, 2.0])
 
 
 def test_intensity_step_sum_reduce_no_mesh():
