@@ -181,7 +181,9 @@ def chunk_core(cfg: dict, trace_fn, ijkm, valid, ray_grids, trace_tables,
         img_p, ang_p = binning.bin_images_dense(Iv, beam, ok)
     else:
         img_p, ang_p = binning.bin_images(Iv, res, rays, beam, method,
-                                          scale, ok)
+                                          scale, ok,
+                                          deposit=cfg.get("bin_deposit",
+                                                          "scatter"))
     return img_p, ang_p, code
 
 
@@ -491,12 +493,20 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     Nt = dims[0] * dims[1] * dims[2] * dims[3]
     skip = problem.N_parallel
     B_total = len(range(problem.N_start, Nt, skip)) if problem.N_start < Nt else 0
-    # the dense (pure-reduction) deposit applies when the worker owns the
-    # full natural-order grid; measured slower than the f32 scatter at the
-    # divergence-optimal small chunk sizes, so scatter is the default and
-    # dense stays available via deposit="dense"
+    # deposit strategy: "dense" (pure reduction; needs the full natural-order
+    # grid, method 1), "matmul" (one-hot MXU; the fast scatter-free path on
+    # TPU), "scatter" (segment_sum; portable default elsewhere).
     dense = (method == 1 and problem.N_start == 0 and problem.N_parallel == 1
              and B_total == Nt and deposit == "dense")
+    if deposit == "auto":
+        # measured: the MXU deposit wins on the seeded workload (119 big
+        # chunks, nv=82); ASE's 13 small chunks favor the scatter
+        bin_deposit = ("matmul" if backend == "pallas" and method == 2
+                       and jax.default_backend() == "tpu" else "scatter")
+    elif deposit in ("matmul", "scatter"):
+        bin_deposit = deposit
+    else:
+        bin_deposit = "scatter"
     blk = dims[2] * dims[3]
     if chunk_size is None:
         # smaller chunks bound the batched while-loop divergence (better
@@ -525,12 +535,14 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         img_rows = nx * ny
     cfg_key = (backend, problem.N, float(beam.dz), K, method, use_emis, dims,
                float(scale), str(jnp.dtype(spectrum_dtype)), float(c), chunk,
-               dense, n_chunks, problem.N_start, problem.N_parallel,
-               fast_meta, pallas_meta, pack_layout, beam_scalars, seed_f0)
+               dense, bin_deposit, n_chunks, problem.N_start,
+               problem.N_parallel, fast_meta, pallas_meta, pack_layout,
+               beam_scalars, seed_f0)
     if cfg_key not in _PIPELINE_CACHE:
         cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                    use_emis=use_emis, dims=dims, scale=float(scale),
                    spectrum_dtype=spectrum_dtype, c=float(c), dense=dense,
+                   bin_deposit=bin_deposit,
                    chunk=chunk, n_chunks=n_chunks, img_rows=img_rows,
                    na_nb=na * nb, N_start=problem.N_start,
                    N_parallel=problem.N_parallel, fast_meta=fast_meta,

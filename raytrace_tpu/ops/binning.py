@@ -11,11 +11,15 @@ TPU rebuild of the scatter-add accumulation in ``RayTraceImageCPULoop``
   the half-cell-padded extent (src/RayTraceImageCPU.cpp:11-16);
 * image[nv*(i1 + i2*nx) + iv] += Iv*scale, I_ang[i3 + i4*na] += sum 2 dv Iv.
 
-Instead of per-ray atomics the deposit is a ``segment_sum`` over computed
-flat bin ids (invalid/failed rays go to a trash bin), which XLA lowers to a
-single sorted scatter-add -- the TPU analogue of the reference threads
-backend's privatized buffers + merge (src/RayTraceImage.cpp:100-133).
-Accumulation is float64 like the reference's double image buffers.
+Instead of per-ray atomics the deposit is either a ``segment_sum`` over
+computed flat bin ids (invalid/failed rays go to a trash bin) or -- the TPU
+fast path -- a one-hot matmul on the MXU: ``image[c, k] = sum_b
+onehot[b, c] * Iv[b, k]`` with the one-hot in bfloat16 (0/1 are exact) and
+``Iv`` split into three bfloat16 planes whose f32-accumulated partial
+products recover f32-quality sums (~2^-26 relative per element). Both are
+the TPU analogue of the reference threads backend's privatized buffers +
+merge (src/RayTraceImage.cpp:100-133). Per-chunk partials accumulate across
+chunks in float64 like the reference's double image buffers.
 """
 
 from __future__ import annotations
@@ -65,12 +69,50 @@ def get_index(grid, d, y):
     return jnp.where(bad, -1, idx)
 
 
-def bin_images(Iv, res, rays, beam: DeviceBeam, method: int, scale, valid):
+def _deposit_matmul(contrib, bins, C: int):
+    """Scatter-free deposit on the MXU: out[c, :] = sum_{b: bins[b]==c}
+    contrib[b, :].
+
+    The one-hot LHS is exact in bfloat16; ``contrib`` is split into three
+    bfloat16 planes (hi + mid + lo recover the f32 value to ~2^-26 relative)
+    concatenated along K so the one-hot is read once, and the three f32
+    partial sums are re-added. MXU accumulation is f32; adding the one-hot's
+    exact zeros costs no rounding, so the effective accumulation depth is
+    rays-per-cell, same as the scatter.
+    """
+    B, K = contrib.shape
+    oh = (bins[:, None] == jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+          ).astype(jnp.bfloat16)
+    c32 = contrib.astype(jnp.float32)
+
+    # split by bit-masking (truncation): the top 16 bits of an f32 ARE its
+    # truncated bfloat16, so each plane is exact and the residual subtraction
+    # cannot be algebraically simplified away (XLA folds the rounding-based
+    # split c32 - f32(bf16(c32)) to zero)
+    def trunc_bf16(x):
+        t = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(x, jnp.uint32) & jnp.uint32(0xFFFF0000),
+            jnp.float32)
+        return t, t.astype(jnp.bfloat16)
+
+    hi32, hi = trunc_bf16(c32)
+    r1 = c32 - hi32
+    mid32, mid = trunc_bf16(r1)
+    lo = (r1 - mid32).astype(jnp.bfloat16)
+    rhs = jnp.concatenate([hi, mid, lo], axis=1)          # [B, 3K]
+    out = jax.lax.dot_general(oh, rhs, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    return out[:, :K] + out[:, K:2 * K] + out[:, 2 * K:]
+
+
+def bin_images(Iv, res, rays, beam: DeviceBeam, method: int, scale, valid,
+               deposit: str = "scatter"):
     """Deposit a batch into (image, I_ang) partial sums.
 
     ``Iv``: [B, K]; ``res``: TraceResult; ``rays``: dict of [B] entry coords;
     ``valid``: [B] bool (failed rays are excluded, the reference ``continue``s
-    on error). Returns (image [nx*ny, K] f64, I_ang [na*nb] f64) partials in
+    on error); ``deposit``: "scatter" (segment_sum) or "matmul" (one-hot MXU).
+    Returns (image [nx*ny, K] f64, I_ang [na*nb] f64) partials in
     cell-major layout; the orchestrator transposes to the reference layout.
     """
     nx, ny = beam.x.shape[0], beam.y.shape[0]
@@ -94,17 +136,43 @@ def bin_images(Iv, res, rays, beam: DeviceBeam, method: int, scale, valid):
     i4 = get_index(beam.b, beam.db, bb)
 
     # near-field image: cell id i1 + i2*nx, trash bin for invalid. The
-    # scatter runs in the spectrum dtype (per-chunk partial sums; ~2.9e-7
-    # relative in f32 at 500k rays/chunk) and accumulates across chunks in
-    # the caller's float64 buffers.
+    # deposit runs in ~f32 precision (per-chunk partial sums; ~3e-7
+    # relative at 500k rays/chunk) and accumulates across chunks in the
+    # caller's float64 buffers.
     img_ok = valid & (i1 >= 0) & (i2 >= 0)
     img_bin = jnp.where(img_ok, i1 + i2 * nx, nx * ny)
     contrib = Iv * jnp.asarray(scale, Iv.dtype)
-    image = jax.ops.segment_sum(contrib, img_bin, num_segments=nx * ny + 1)[:-1]
+    if deposit == "matmul":
+        from raytrace_tpu.ops import deposit_kernel as dk
 
-    # far-field: sum_v 2 dv Iv then scatter into i3 + i4*na
+        if (jax.default_backend() == "tpu"
+                and contrib.shape[0] % dk.DEPOSIT_TILE == 0):
+            # pallas kernel: one-hot stays in VMEM (see ops/deposit_kernel)
+            image = dk.deposit_tiles(contrib.astype(jnp.float32),
+                                     img_bin.astype(jnp.int32),
+                                     nx * ny + 1)[:-1]
+        else:
+            image = _deposit_matmul(contrib, img_bin, nx * ny + 1)[:-1]
+    else:
+        image = jax.ops.segment_sum(contrib, img_bin,
+                                    num_segments=nx * ny + 1)[:-1]
+
+    # far-field: sum_v 2 dv Iv then scatter into i3 + i4*na. TPU scatter
+    # cost is per-element (latency-bound), so even this [B]-sized deposit
+    # costs as much as the image one -- route it through the MXU kernel too.
     ang_ok = valid & (i3 >= 0) & (i4 >= 0)
     ang_bin = jnp.where(ang_ok, i3 + i4 * na, na * nb)
     tmp = Iv @ (2.0 * beam.dv).astype(Iv.dtype)
-    i_ang = jax.ops.segment_sum(tmp, ang_bin, num_segments=na * nb + 1)[:-1]
+    if deposit == "matmul":
+        from raytrace_tpu.ops import deposit_kernel as dk
+
+        if (jax.default_backend() == "tpu"
+                and tmp.shape[0] % dk.DEPOSIT_TILE == 0):
+            i_ang = dk.deposit_tiles(tmp.astype(jnp.float32)[:, None],
+                                     ang_bin.astype(jnp.int32),
+                                     na * nb + 1)[:-1, 0]
+        else:
+            i_ang = _deposit_matmul(tmp[:, None], ang_bin, na * nb + 1)[:-1, 0]
+    else:
+        i_ang = jax.ops.segment_sum(tmp, ang_bin, num_segments=na * nb + 1)[:-1]
     return image.astype(jnp.float64), i_ang.astype(jnp.float64)

@@ -12,17 +12,18 @@ TPU rebuild of the per-ray spectrum loops in ``RayTrace_calc_ray``
 
 Precision: the reference computes this in double. ``dtype=float64``
 reproduces that (f64 is emulated on TPU; ~0.2 s per ASE_small call).
-``dtype=float32`` uses a two-float exponential instead: ``exp`` amplifies
-*argument* rounding by a factor of |g| (d exp/exp = dg), so a plain float32
-exp of a float32 log-gain is off by ~|g|*6e-8 relative -- up to ~1e-5 for
-the brightest rays, which is what the 5e-6 golden norm gate sees. Computing
-``g`` exactly (f32*f32 products are exact in f64), splitting g = hi + lo,
-and evaluating ``exp32(hi) * (1 + lo)`` keeps the relative error at ~1e-7
-independent of |g| at float32 cost.
+``dtype=float32`` keeps the log-gain as an unevaluated two-float (hi, lo)
+pair instead: ``exp`` amplifies *argument* rounding by a factor of |g|
+(d exp/exp = dg), so a plain float32 exp of a float32 log-gain would be off
+by ~|g|*6e-8 relative. Dekker-split products (each f32*f32 exactly as
+hi+lo) + error-free two-sum accumulation + an (hi, lo)-aware range-reduced
+exp keep the relative error at ~1e-7 independent of |g| with zero float64
+arithmetic in the hot path (f64 is VPU-emulated on TPU at ~10x cost).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from raytrace_tpu.ops.stepper import TraceResult
@@ -32,37 +33,81 @@ __all__ = ["amplify"]
 
 _LOG2E = 1.4426950408889634
 _LN2 = 0.6931471805599453
+# ln2 = LN2_HI + LN2_LO with LN2_HI carrying 12 trailing zero mantissa bits,
+# so n * LN2_HI is exact for the |n| <= 2^11 range reduction produces here
+_LN2_HI = float(jnp.float32(0.693145751953125))
+_LN2_LO = float(jnp.float32(1.42860677e-06))
+_SPLIT_MASK = jnp.uint32(0xFFFFF000)  # keep 12 high mantissa bits
+
+f32 = jnp.float32
 
 
-def _exp_fast(g64):
-    """Unbiased ~1.5e-7-relative exp at float32 cost.
+def _two_sum(a, b):
+    """Error-free f32 addition: a + b = s + err exactly (Knuth two-sum)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _split_prod(a, b):
+    """Error-free f32 product via Dekker splitting: a*b = p + err exactly.
+
+    Each factor is split into 12 high + 12 low mantissa bits, so the four
+    partial products are exact in f32 (12x12 <= 24-bit mantissa).
+    """
+    ah = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(a, jnp.uint32) & _SPLIT_MASK, jnp.float32)
+    al = a - ah
+    bh = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(b, jnp.uint32) & _SPLIT_MASK, jnp.float32)
+    bl = b - bh
+    p = a * b
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _exp_fast2(hi, lo):
+    """Unbiased ~1e-7-relative exp of the two-float value hi + lo, pure f32.
 
     The TPU float32 exp intrinsic carries a systematic ~-1e-6 relative bias
     (measured), which compounds across the per-sub-length amplification
-    chain and shows up in the golden norm gate. This version does its own
-    range reduction in (cheap) f64 adds/mults -- g = n ln2 + f with
-    |f| <= ln2/2 -- evaluates e^f with an f32 Horner Taylor (degree 7,
-    truncation 5e-9), and scales by 2^n exactly via ldexp.
+    chain and shows up in the golden norm gate. This version range-reduces
+    g = n ln2 + f with |f| <= ~ln2/2 using the split-ln2 constants (exact
+    n*LN2_HI), evaluates e^f with an f32 Horner Taylor (degree 7, truncation
+    5e-9), and scales by 2^n exactly via ldexp.
     """
+    n = jnp.round(hi * f32(_LOG2E))
+    f = ((hi - n * f32(_LN2_HI)) + lo) - n * f32(_LN2_LO)
+    e = f32(1.0) + f / 7
+    for k in (6, 5, 4, 3, 2, 1):
+        e = f32(1.0) + (f / k) * e
+    return jnp.ldexp(e, n.astype(jnp.int32))
+
+
+def _expm1_fast2(hi, lo):
+    """Unbiased expm1 companion: direct polynomial when |g| <= ln2/2 (no
+    cancellation), exp-1 otherwise (where it is well-conditioned)."""
+    small = jnp.abs(hi) <= f32(0.5 * _LN2)
+    f = jnp.where(small, hi + lo, f32(0.0))
+    e = f32(1.0) + f / 7
+    for k in (6, 5, 4, 3, 2):
+        e = f32(1.0) + (f / k) * e
+    poly = f * e  # f(1 + f/2(1 + f/3(...)))
+    return jnp.where(small, poly,
+                     _exp_fast2(jnp.where(small, f32(1.0), hi),
+                                jnp.where(small, f32(0.0), lo)) - f32(1.0))
+
+
+def _exp_fast(g64):
+    """f64-argument wrapper kept for external callers/tests: same algorithm
+    with the range reduction done on the f64 value."""
     n = jnp.round(g64 * _LOG2E)
     f = (g64 - n * _LN2).astype(jnp.float32)
     e = jnp.float32(1.0) + f / 7
     for k in (6, 5, 4, 3, 2, 1):
         e = jnp.float32(1.0) + (f / k) * e
     return jnp.ldexp(e, n.astype(jnp.int32))
-
-
-def _expm1_fast(g64):
-    """Unbiased expm1 companion: direct polynomial when |g| <= ln2/2 (no
-    cancellation), exp-1 otherwise (where it is well-conditioned)."""
-    small = jnp.abs(g64) <= 0.5 * _LN2
-    f = jnp.where(small, g64, 0.0).astype(jnp.float32)
-    e = jnp.float32(1.0) + f / 7
-    for k in (6, 5, 4, 3, 2):
-        e = jnp.float32(1.0) + (f / k) * e
-    poly = f * e  # f(1 + f/2(1 + f/3(...)))
-    return jnp.where(small, poly,
-                     _exp_fast(jnp.where(small, 1.0, g64)) - jnp.float32(1.0))
 
 
 def amplify(res: TraceResult, Iv0, gv, N: int, use_emis: bool,
@@ -88,21 +133,23 @@ def amplify(res: TraceResult, Iv0, gv, N: int, use_emis: bool,
             gv_seg = gv[i]  # [cells, K] f32
             for isub in range(res.gvl.shape[2]):
                 gv_row = gv_seg[res.ivl[:, i, isub]]  # [B, K] f32
-                # f32*f32 is exact in f64; the ODE needs the log-gain to
-                # full precision because exp() amplifies argument error
-                gl64 = (res.gvl[:, i, isub, None].astype(jnp.float64)
-                        * gv_row.astype(jnp.float64))
                 el = res.evl[:, i, isub, None].astype(dtype) * gv_row.astype(dtype)
-                gl = gl64.astype(dtype)
-                small = jnp.abs(gl) < 1e-3
-                gl_safe = jnp.where(small, 1.0, gl)
                 if f32_mode:
-                    gl64z = jnp.where(small, 0.0, gl64)
-                    exp_gl = _exp_fast(gl64z)
-                    em1 = _expm1_fast(gl64z)
+                    # exact two-float product: exp() amplifies argument
+                    # rounding, so the log-gain must be better than 1 ulp
+                    gl, gl_lo = _split_prod(res.gvl[:, i, isub, None], gv_row)
+                    small = jnp.abs(gl) < f32(1e-3)
+                    glz = jnp.where(small, f32(0.0), gl)
+                    glz_lo = jnp.where(small, f32(0.0), gl_lo)
+                    exp_gl = _exp_fast2(glz, glz_lo)
+                    em1 = _expm1_fast2(glz, glz_lo)
                 else:
+                    gl = (res.gvl[:, i, isub, None].astype(jnp.float64)
+                          * gv_row.astype(jnp.float64))
+                    small = jnp.abs(gl) < 1e-3
                     exp_gl = jnp.exp(jnp.where(small, 0.0, gl))
                     em1 = exp_gl - 1.0
+                gl_safe = jnp.where(small, dtype.type(1.0), gl)
                 big = el / gl_safe * em1 + Iv * exp_gl
                 taylor = el * (1.0 + 0.5 * gl * (1.0 + 0.3333333333 * gl)) \
                     + Iv * (1.0 + gl * (1.0 + 0.5 * gl))
@@ -110,6 +157,19 @@ def amplify(res: TraceResult, Iv0, gv, N: int, use_emis: bool,
         return Iv
 
     # gain-only fast path: accumulate the total log-gain, one exp
+    # (RayTraceImageHelper.h:569-581)
+    if f32_mode:
+        # two-float accumulation: Dekker products + two-sum, all f32
+        hi = jnp.zeros((B, K), dtype=jnp.float32)
+        lo = jnp.zeros((B, K), dtype=jnp.float32)
+        for i in range(nseg):
+            gv_seg = gv[i]
+            for isub in range(res.gvl.shape[2]):
+                gv_row = gv_seg[res.ivl[:, i, isub]]
+                p, pe = _split_prod(res.gvl[:, i, isub, None], gv_row)
+                hi, e = _two_sum(hi, p)
+                lo = lo + (e + pe)
+        return Iv * _exp_fast2(hi, lo)
     gl_tot = jnp.zeros((B, K), dtype=jnp.float64)
     for i in range(nseg):
         gv_seg = gv[i]
@@ -117,6 +177,4 @@ def amplify(res: TraceResult, Iv0, gv, N: int, use_emis: bool,
             gv_row = gv_seg[res.ivl[:, i, isub]]
             gl_tot = gl_tot + (res.gvl[:, i, isub, None].astype(jnp.float64)
                                * gv_row.astype(jnp.float64))
-    if f32_mode:
-        return Iv * _exp_fast(gl_tot)
     return Iv * jnp.exp(gl_tot)

@@ -201,3 +201,60 @@ def test_reference_method_aliases():
     p2 = synthetic_problem()
     img_thr, _ = create_image(p2, "threads")  # -> lax
     assert np.linalg.norm(img_cpu - img_thr) / np.linalg.norm(img_cpu) < 2e-3
+
+
+def test_matmul_deposit_matches_scatter():
+    """The one-hot MXU deposit (bf16 triple-split) agrees with segment_sum
+    to ~1e-7 relative on both method families."""
+    for seeded in (False, True):
+        p1 = synthetic_problem(seeded=seeded)
+        img_s, ang_s = create_image(p1, "lax", deposit="scatter")
+        p2 = synthetic_problem(seeded=seeded)
+        img_m, ang_m = create_image(p2, "lax", deposit="matmul")
+        rel = np.linalg.norm(img_m - img_s) / max(np.linalg.norm(img_s), 1e-300)
+        rel_a = np.linalg.norm(ang_m - ang_s) / max(np.linalg.norm(ang_s), 1e-300)
+        assert rel < 5e-7 and rel_a < 5e-7, (seeded, rel, rel_a)
+
+
+def test_two_float_spectrum_matches_f64():
+    """The f32 two-float amplification (Dekker products + two-sum + (hi,lo)
+    exp) tracks the f64 reference chain to ~1e-7 relative norms."""
+    import jax.numpy as jnp
+
+    for seeded in (False, True):
+        p32 = synthetic_problem(seeded=seeded)
+        img32, ang32 = create_image(p32, "lax", spectrum_dtype=jnp.float32)
+        p64 = synthetic_problem(seeded=seeded)
+        img64, ang64 = create_image(p64, "lax", spectrum_dtype=jnp.float64)
+        rel = np.linalg.norm(img32 - img64) / max(np.linalg.norm(img64), 1e-300)
+        assert rel < 1e-6, (seeded, rel)
+
+
+def test_exp_fast2_accuracy():
+    """(hi, lo)-pair exp: ~1e-7 relative over the production gain range."""
+    import jax.numpy as jnp
+    from raytrace_tpu.ops.spectrum import (_exp_fast2, _expm1_fast2,
+                                           _split_prod, _two_sum)
+
+    rng = np.random.default_rng(3)
+    a = rng.uniform(-1.3, 1.3, 4096).astype(np.float32)
+    b = rng.uniform(0.0, 1.0, 4096).astype(np.float32)
+    # accumulate 6 products like the seeded path
+    hi = np.zeros(4096, np.float32)
+    lo = np.zeros(4096, np.float32)
+    ref = np.zeros(4096, np.float64)
+    for s in range(6):
+        aa = np.roll(a, s).astype(np.float32)
+        p, pe = _split_prod(jnp.asarray(aa), jnp.asarray(b))
+        h2, e = _two_sum(jnp.asarray(hi), p)
+        hi = np.asarray(h2)
+        lo = np.asarray(jnp.asarray(lo) + (e + pe))
+        ref += aa.astype(np.float64) * b.astype(np.float64)
+    # the pair reproduces the f64 sum almost exactly
+    assert np.abs(hi.astype(np.float64) + lo - ref).max() < 1e-10
+    got = np.asarray(_exp_fast2(jnp.asarray(hi), jnp.asarray(lo)), np.float64)
+    rel = np.abs(got - np.exp(ref)) / np.exp(ref)
+    assert rel.max() < 5e-7, rel.max()
+    gm1 = np.asarray(_expm1_fast2(jnp.asarray(hi), jnp.asarray(lo)), np.float64)
+    rel1 = np.abs(gm1 - np.expm1(ref)) / np.maximum(np.abs(np.expm1(ref)), 1e-12)
+    assert rel1.max() < 1e-6, rel1.max()
