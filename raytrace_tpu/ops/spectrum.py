@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from raytrace_tpu.ops.stepper import TraceResult
 
@@ -35,9 +36,11 @@ _LOG2E = 1.4426950408889634
 _LN2 = 0.6931471805599453
 # ln2 = LN2_HI + LN2_LO with LN2_HI carrying 12 trailing zero mantissa bits,
 # so n * LN2_HI is exact for the |n| <= 2^11 range reduction produces here
-_LN2_HI = float(jnp.float32(0.693145751953125))
-_LN2_LO = float(jnp.float32(1.42860677e-06))
-_SPLIT_MASK = jnp.uint32(0xFFFFF000)  # keep 12 high mantissa bits
+# numpy (not jnp) constants: module import must not initialize the XLA
+# backend, or jax.distributed.initialize() in multi-process workers fails
+_LN2_HI = float(np.float32(0.693145751953125))
+_LN2_LO = float(np.float32(1.42860677e-06))
+_SPLIT_MASK = np.uint32(0xFFFFF000)  # keep 12 high mantissa bits
 
 f32 = jnp.float32
 

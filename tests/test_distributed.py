@@ -61,6 +61,25 @@ def _free_port():
     return port
 
 
+def test_import_does_not_init_backend():
+    """Importing the package must not initialize an XLA backend:
+    jax.distributed.initialize() (the MPI_Init analogue) requires a cold
+    runtime, so module-level jnp constants are a regression (they once broke
+    the 2-process harness via spectrum.py)."""
+    code = (
+        "import raytrace_tpu\n"
+        "from raytrace_tpu.parallel import sharding, distributed\n"
+        "from raytrace_tpu.testing import synthetic_problem\n"
+        "import jax._src.xla_bridge as xb\n"
+        "import sys\n"
+        "sys.exit(0 if not xb._backends else 3)\n"
+    )
+    env = dict(os.environ)
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+
 @pytest.mark.slow
 def test_two_process_collectives():
     """Real cross-process communication: 2 JAX processes on CPU."""
