@@ -6,6 +6,21 @@ reference protocol: warmup + timed calls including host->device table
 upload, src/CreateImage.cpp:118-190). ``vs_baseline`` is the speedup over
 the reference CPU binary measured on this host (1.793 s/call = 222,532
 rays/s, serial; see BASELINE.md).
+
+Also reported:
+
+* ``avg_seconds_per_call`` + ``stability_ok``: the reference's own headline
+  statistic and reproducibility gates (stddev <= 10% of avg, max <= avg+15%,
+  src/CreateImage.cpp:166-181), evaluated over the timed calls. On the
+  tunneled device link the gates routinely fail for a 0.15 s call (30-150 ms
+  of link weather per dispatch, see ROADMAP.md); the booleans are recorded
+  honestly alongside the best/median machine-capability numbers.
+* ``seed_small_*``: the seeded workload (7.8M rays).
+* ``scale16_*``: the ASE_medium proxy (-scale=16 => 6.384M rays,
+  Readme.txt:47-49 protocol via scale_problem). The embedded golden only
+  applies at scale 1, so correctness at scale 16 is a cross-backend gate:
+  the lax backend's image is the golden and the timed pallas image must
+  pass the same one-sided 5e-6 norm check (check_ans).
 """
 
 import json
@@ -21,11 +36,21 @@ BASELINE_RAYS_PER_SEC = 399000 / 1.793   # reference CPU binary on this host
 SEED_BASELINE_RAYS_PER_SEC = 7803000 / 25.261
 
 
+def _time_calls(fn, n):
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return times
+
+
 def main():
     import jax
 
     from raytrace_tpu import create_image, load_input
-    from raytrace_tpu.utils.stats import check_ans
+    from raytrace_tpu.io.loader import scale_problem
+    from raytrace_tpu.utils.stats import TimingStats, check_ans
 
     # pallas (in-kernel loop nest) is the fastest backend on TPU for both
     # workloads; the lax backend is the portable fallback for CPU runs.
@@ -42,48 +67,82 @@ def main():
     # (measured; whole windows degrade, so no central estimate is stable for
     # a 0.15 s call). Every call does the full protocol work -- host->device
     # table upload, compute, device->host image readback -- so the minimum is
-    # the machine-capability number; the median is reported alongside.
-    times = []
-    for _ in range(9):
-        t0 = time.perf_counter()
-        image, i_ang = create_image(problem, method)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    avg = times[0]
-    median = times[len(times) // 2]
-    rays_per_sec = n_rays / avg
+    # the machine-capability number; avg/median and the reference stability
+    # gates are reported alongside.
+    out = {}
 
-    ok = check_ans(image0, i_ang0, image, i_ang, verbose=False)
+    def _call():
+        out["img"], out["ang"] = create_image(problem, method)
+
+    times = _time_calls(_call, 9)
+    stats = TimingStats.of(times)
+    stability_ok = (stats.std <= 0.1 * stats.avg
+                    and stats.max <= 1.15 * stats.avg)
+    best = min(times)
+    median = sorted(times)[len(times) // 2]
+    rays_per_sec = n_rays / best
+
+    ok = check_ans(image0, i_ang0, out["img"], out["ang"], verbose=False)
 
     # auxiliary: the seeded workload (7.8M rays)
     seed_stats = {}
     if os.path.exists(SEED_INPUT):
         sp, simg0, sang0 = load_input(SEED_INPUT)
         simg, sang = create_image(sp, method)
-        st = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            simg, sang = create_image(sp, method)
-            st.append(time.perf_counter() - t0)
+        st = _time_calls(lambda: create_image(sp, method), 3)
         savg = min(st)
+        simg, sang = sp.image, sp.I_ang
         seed_stats = {
             "seed_small_rays_per_sec": round(7803000 / savg, 1),
             "seed_small_vs_baseline": round(
                 (7803000 / savg) / SEED_BASELINE_RAYS_PER_SEC, 3),
+            "seed_small_avg_seconds_per_call": round(
+                float(TimingStats.of(st).avg), 4),
             "seed_small_golden_check": bool(
                 check_ans(simg0, sang0, simg, sang, verbose=False)),
         }
+
+    # ASE_medium proxy: -scale=16 (6.384M rays). Golden at scale!=1 is a
+    # cross-backend check: lax result is the golden for the pallas image.
+    scale16_stats = {}
+    try:
+        p16, _, _ = load_input(REFERENCE_INPUT)
+        scale_problem(p16, 16.0)
+        b16 = p16.euv_beam
+        n16 = b16.nx * b16.ny * b16.na * b16.nb
+        create_image(p16, method)  # warmup
+        t16 = _time_calls(lambda: create_image(p16, method), 3)
+        img16, ang16 = p16.image, p16.I_ang
+        sanity = True
+        if method != "lax":
+            pl16, _, _ = load_input(REFERENCE_INPUT)
+            scale_problem(pl16, 16.0)
+            limg, lang = create_image(pl16, "lax")
+            sanity = check_ans(limg, lang, img16, ang16, verbose=False)
+        scale16_stats = {
+            "scale16_rays_per_sec": round(n16 / min(t16), 1),
+            "scale16_n_rays": int(n16),
+            "scale16_avg_seconds_per_call": round(
+                float(TimingStats.of(t16).avg), 4),
+            "scale16_cross_backend_check": bool(sanity),
+        }
+    except Exception as e:  # never let the proxy kill the headline number
+        scale16_stats = {"scale16_error": repr(e)}
 
     result = {
         "metric": "ase_small_rays_per_sec",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-        "best_seconds_per_call": round(avg, 4),
+        "best_seconds_per_call": round(best, 4),
         "median_seconds_per_call": round(median, 4),
+        "avg_seconds_per_call": round(stats.avg, 4),
+        "std_seconds_per_call": round(stats.std, 4),
+        "stability_ok": bool(stability_ok),
         "golden_check": bool(ok),
         "method": method,
         **seed_stats,
+        **scale16_stats,
     }
     print(json.dumps(result))
 

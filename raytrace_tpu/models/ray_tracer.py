@@ -318,13 +318,15 @@ def _lax_fast_factory(cfg):
     return _make_pipeline(cfg, trace_fn)
 
 
-def _pallas_factory(cfg):
-    """Pallas TPU kernel backend (ops/pallas_kernel.py) -- the default and
-    fastest backend on TPU (BENCH_r01+): the full loop nest runs per (8,128)
-    ray tile inside one Mosaic kernel with VMEM-resident gain tables, so each
-    tile's trip count is set by its own slowest ray rather than the batch
-    maximum. The TPU analogue of the reference's CUDA path
-    (src/RayTraceImageCuda.cu).
+def make_pallas_trace_fn(cfg):
+    """Build the pallas-backend trace_fn from a pipeline cfg.
+
+    Shared by the single-device pipeline (_pallas_factory) and the multi-chip
+    shard_map path (parallel/sharding.py) -- the reference's multi-GPU path
+    likewise drives its fastest (CUDA) backend per device
+    (src/RayTraceImage.cpp:396-405). Off-TPU the kernel runs through the
+    Pallas interpreter (ops/pallas_kernel.trace_tiles default), so the
+    virtual CPU mesh executes the same kernel semantics.
     """
     from raytrace_tpu.ops import pallas_kernel as pk
 
@@ -361,7 +363,18 @@ def _pallas_factory(cfg):
             escaped=flat(esc) != 0,
             perp=(sz * sz).reshape(B) < f32_(0.01))
 
-    return _make_pipeline(cfg, trace_fn)
+    return trace_fn
+
+
+def _pallas_factory(cfg):
+    """Pallas TPU kernel backend (ops/pallas_kernel.py) -- the default and
+    fastest backend on TPU (BENCH_r01+): the full loop nest runs per (8,128)
+    ray tile inside one Mosaic kernel with VMEM-resident gain tables, so each
+    tile's trip count is set by its own slowest ray rather than the batch
+    maximum. The TPU analogue of the reference's CUDA path
+    (src/RayTraceImageCuda.cu).
+    """
+    return _make_pipeline(cfg, make_pallas_trace_fn(cfg))
 
 
 BACKENDS["lax-exact"] = _lax_exact_factory

@@ -422,8 +422,9 @@ def _stepper_kernel(rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref, tab_ref,
     eesc_ref[:] = escaped.astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("meta_key", "N", "dz0", "c"))
-def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c):
+@functools.partial(jax.jit, static_argnames=("meta_key", "N", "dz0", "c",
+                                              "interpret"))
+def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret):
     pg_meta = dict(meta_key)
     T = rx.shape[0]
     nseg = N - 1
@@ -493,17 +494,25 @@ def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c):
                   tab_spec],
         out_specs=(out_big, out_big, out_big, out_one, out_one, out_one,
                    out_one, out_one, out_one),
+        interpret=interpret,
     )(rx, ry, sx, sy, sz, tables)
     return outs
 
 
 def trace_tiles(rays, N: int, dz0: float, pg: PackedGain, method: int,
-                c: float = 0.5):
+                c: float = 0.5, interpret: bool | None = None):
     """Run the Pallas stepper over [T, 8, 128]-tiled ray batches.
 
     ``rays``: dict of float32 [T, 8, 128] arrays x/y/a/b.
     Returns (gvl, evl, ivl [T,nseg,3,8,128], exit px/py/sx/sy/sz, escaped).
+
+    ``interpret``: run the kernel through the Pallas interpreter (plain XLA
+    ops) instead of Mosaic. Defaults to True off-TPU, which is what lets the
+    multi-chip path (parallel/sharding.py) run this backend on the virtual
+    CPU mesh with identical semantics.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     meta_key = (
         ("x0", pg.x0), ("dxc", pg.dxc), ("y0", pg.y0), ("dyc", pg.dyc),
         ("nx", pg.nx), ("ny", pg.ny), ("absy", pg.absy),
@@ -511,4 +520,5 @@ def trace_tiles(rays, N: int, dz0: float, pg: PackedGain, method: int,
         ("use_emis", pg.use_emis), ("method", method),
     )
     return _trace_tiles_jit(rays["x"], rays["y"], rays["a"], rays["b"],
-                            pg.tables, meta_key, N, float(dz0), float(c))
+                            pg.tables, meta_key, N, float(dz0), float(c),
+                            bool(interpret))

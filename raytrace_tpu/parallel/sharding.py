@@ -125,15 +125,28 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
     use_emis = problem.gain[0].E0 is not None and problem.seed is None
     uniform = fast_stepper.is_uniform(problem.gain)
     backend = ray_tracer._resolve_backend(compute_method, uniform)
-    if backend == "pallas":
-        backend = "lax"
     K = beam.nv
     nx, ny, na, nb = beam.nx, beam.ny, beam.na, beam.nb
 
+    pallas_meta = None
     if backend == "lax":
         ft = fast_stepper.pack_fast_tables(problem.gain, use_emis)
         trace_tables = ft.tx
         fast_meta = (ft.meta, ft.nch, ft.ny_cells)
+        gv_tables = ray_tracer._stack_gv(problem.gain, K)
+    elif backend == "pallas":
+        # the fastest backend runs per shard, exactly like the reference's
+        # multi-GPU path drives its CUDA kernel (RayTraceImage.cpp:396-405);
+        # off-TPU the kernel executes via the Pallas interpreter (a chosen,
+        # semantics-identical fallback -- ops/pallas_kernel.trace_tiles)
+        from raytrace_tpu.ops import pallas_kernel as pk
+        pg = pk.pack_gain_tables(problem.gain, use_emis)
+        trace_tables = pg.tables
+        fast_meta = None
+        pallas_meta = (("x0", pg.x0), ("dxc", pg.dxc), ("y0", pg.y0),
+                       ("dyc", pg.dyc), ("nx", pg.nx), ("ny", pg.ny),
+                       ("absy", pg.absy),
+                       ("range4", tuple(tuple(r) for r in pg.range4)))
         gv_tables = ray_tracer._stack_gv(problem.gain, K)
     else:
         trace_tables = prepare_gain(problem.gain)
@@ -156,16 +169,26 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
     skip = problem.N_parallel
     B_total = len(range(problem.N_start, Nt, skip)) if problem.N_start < Nt else 0
     if chunk_size is None:
-        chunk_size = 16384 if B_total < 2_000_000 else 32768
+        if backend == "pallas":
+            # per-(8,128)-tile trip counts bound divergence inside the tile,
+            # so bigger chunks amortize better (same policy as single-device)
+            chunk_size = 32768 if B_total < 2_000_000 else 65536
+        else:
+            chunk_size = 16384 if B_total < 2_000_000 else 32768
     chunk = min(chunk_size, max(B_total, 1))
     chunk = max(D, (chunk // D) * D)
+    if backend == "pallas":
+        # each device's chunk share must be whole (8,128) ray tiles
+        from raytrace_tpu.ops import pallas_kernel as pk
+        per_dev = max(pk.TILE, (chunk // D // pk.TILE) * pk.TILE)
+        chunk = per_dev * D
     n_chunks = math.ceil(B_total / chunk) if B_total else 0
 
     cfg_key = ("sharded", id(mesh), backend, problem.N, float(beam.dz), K,
                method, use_emis, dims, float(scale),
                str(jnp.dtype(spectrum_dtype)), float(c), chunk, n_chunks,
-               problem.N_start, problem.N_parallel, fast_meta, pack_layout,
-               beam_scalars, seed_f0)
+               problem.N_start, problem.N_parallel, fast_meta, pallas_meta,
+               pack_layout, beam_scalars, seed_f0)
     if cfg_key not in _SHARDED_CACHE:
         cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                    use_emis=use_emis, dims=dims, scale=float(scale),
@@ -173,9 +196,12 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
                    chunk=chunk, n_chunks=n_chunks, na_nb=na * nb,
                    img_cells=nx * ny, N_start=problem.N_start,
                    N_parallel=problem.N_parallel, fast_meta=fast_meta,
+                   pallas_meta=pallas_meta,
                    pack_layout=pack_layout, beam_scalars=beam_scalars,
                    seed_f0=seed_f0)
-        if backend == "lax":
+        if backend == "pallas":
+            trace_fn = ray_tracer.make_pallas_trace_fn(cfg)
+        elif backend == "lax":
             meta, nch, nyc = fast_meta
 
             def trace_fn(rays, tx):

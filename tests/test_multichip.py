@@ -33,6 +33,22 @@ def test_sharded_matches_single(seeded):
 
 
 @needs_mesh
+@pytest.mark.parametrize("seeded", [False, True])
+def test_sharded_pallas_matches_single(seeded):
+    """The fastest backend runs per shard (no silent lax downgrade) -- the
+    reference's multi-GPU path likewise drives its CUDA kernel per device
+    (src/RayTraceImage.cpp:396-405). Off-TPU the kernel executes via the
+    Pallas interpreter."""
+    p1 = synthetic_problem(seeded=seeded)
+    img1, ang1 = create_image(p1, "lax")
+    mesh = make_mesh(8)
+    p8 = synthetic_problem(seeded=seeded)
+    img8, ang8 = create_image_sharded(p8, mesh, "pallas")
+    assert np.linalg.norm(img1 - img8) / np.linalg.norm(img1) < 2e-6
+    assert np.linalg.norm(ang1 - ang8) / np.linalg.norm(ang1) < 2e-6
+
+
+@needs_mesh
 def test_sharded_mesh_sizes():
     """Any mesh size (including 1 = the no-MPI shim analogue) gives the
     same images."""
