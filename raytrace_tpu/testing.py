@@ -23,8 +23,18 @@ def _uniform_grid(lo, hi, n):
 
 def synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6, N=3, seeded=False,
                       seed_dim=21, rng=None, non_uniform_gain=False,
-                      ) -> CreateImageProblem:
-    """A miniature ASE or seeded work unit with smooth random gain tables."""
+                      refraction_free=False) -> CreateImageProblem:
+    """A miniature ASE or seeded work unit with smooth random gain tables.
+
+    ``refraction_free``: constant index of refraction (n = 1 everywhere, so
+    dn/dx = dn/dy = 0). Rays travel in straight lines, which makes every
+    implementation's micro-step sequence geometry-determined and identical
+    -- the lockstep-parity regime (tests/test_stepper.py) where per-ray
+    results must agree to float32 accumulation error, with no trajectory
+    chaos to hide a half-cell indexing bug. The gain tables stay nonzero so
+    the cell walk, bilinear gain interpolation, and path integrals are all
+    still exercised.
+    """
     rng = np.random.default_rng(rng)
     p = CreateImageProblem()
     p.N = N
@@ -75,7 +85,8 @@ def synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6, N=3, seeded=False,
         # gates against the real snapshots.
         blob = np.exp(-((X - 2.5e-3) ** 2) / (3e-3) ** 2
                       - (Y / 2.5e-3) ** 2)
-        g.n = (1.0 - 2e-5 * blob * (1 + 0.05 * s)).reshape(-1)
+        n_dip = 0.0 if refraction_free else 2e-5
+        g.n = (1.0 - n_dip * blob * (1 + 0.05 * s)).reshape(-1)
         g.g0 = (60.0 * blob * (1 + 0.1 * s)).astype(np.float32).reshape(-1)
         g.E0 = (1e-4 * blob).astype(np.float32).reshape(-1)
         # normalized Lorentzian-ish lineshape per frequency

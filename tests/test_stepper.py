@@ -68,6 +68,61 @@ def test_fast_stepper_matches_exact():
     assert np.array_equal(np.asarray(r_exact.escaped), np.asarray(r_fast.escaped))
 
 
+@pytest.mark.parametrize("backend", ["exact", "fast", "pallas"])
+def test_lockstep_straight_rays(backend):
+    """Lockstep parity tier: refraction-free problem (dn/dx = dn/dy = 0),
+    so every implementation's micro-step sequence is geometry-determined and
+    identical to the oracle's -- no trajectory chaos. Per-ray gvl must agree
+    to 1e-5 (f32 accumulation error, typically ~1e-7) and the cell indices
+    exactly; a half-cell indexing bug (get_index's 0.5*d shift,
+    src/RayTraceStructures.cpp:70-78 analogue) cannot hide here, unlike the
+    loose 5% chaotic-tolerance tier above (kept for the production loop
+    shape). Single-ray kernel surface: src/RayTrace.h:37-60."""
+    p = synthetic_problem(refraction_free=True)
+    b = p.euv_beam
+    rng = np.random.default_rng(7)
+    n_rays = 64
+    xs, ys, aa, bb = _sample_rays(p, n_rays, rng)
+    rays = {k: jnp.asarray(v) for k, v in zip("xyab", (xs, ys, aa, bb))}
+    if backend == "exact":
+        gain_dev = prepare_gain(p.gain)
+        res = stepper.trace_batch(rays, p.N, b.dz, gain_dev, 1, use_emis=True)
+    elif backend == "fast":
+        ft = fast_stepper.pack_fast_tables(p.gain, use_emis=True)
+        res = fast_stepper.trace_batch_fast(rays, p.N, b.dz, ft, 1,
+                                            use_emis=True)
+    else:
+        from raytrace_tpu.ops import pallas_kernel as pk
+        pad = pk.TILE - n_rays
+        tiled = {k: jnp.pad(v, (0, pad)).reshape(1, pk.TILE_ROWS,
+                                                 pk.TILE_LANES)
+                 for k, v in rays.items()}
+        pg = pk.pack_gain_tables(p.gain, use_emis=True)
+        gvl, evl, ivl_t, *_ = pk.trace_tiles(tiled, p.N, b.dz, pg, 1)
+        nseg = p.N - 1
+
+        class _R:
+            pass
+
+        res = _R()
+        res.gvl = np.asarray(gvl).transpose(0, 3, 4, 1, 2).reshape(
+            pk.TILE, nseg, pk.N_SUB)[:n_rays]
+        res.ivl = np.asarray(ivl_t).transpose(0, 3, 4, 1, 2).reshape(
+            pk.TILE, nseg, pk.N_SUB)[:n_rays]
+    gvl = np.asarray(res.gvl)
+    ivl = np.asarray(res.ivl)
+    for t in range(n_rays):
+        o = oracle.calc_ray((xs[t], ys[t], aa[t], bb[t]), p.N, b.dz, p.gain,
+                            None, b.nv, 1)
+        want = o.gvl[: p.N - 1].ravel()
+        got = gvl[t].ravel()
+        denom = np.maximum(np.abs(want), 1e-6)
+        assert np.max(np.abs(got - want) / denom) < 1e-5, (
+            f"ray {t}: max rel {np.max(np.abs(got - want) / denom)}")
+        assert np.array_equal(ivl[t].ravel(), o.ivl[: p.N - 1].ravel()), (
+            f"ray {t}: cell-index mismatch")
+
+
 def test_non_uniform_requires_exact():
     p = synthetic_problem(non_uniform_gain=True)
     assert not fast_stepper.is_uniform(p.gain)
