@@ -531,13 +531,15 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         else:
             chunk_size = 16384 if B_total < 2_000_000 else 32768
     chunk = min(chunk_size, max(B_total, 1))
-    if dense:
-        chunk = max(blk, (chunk // blk) * blk)
     if backend == "pallas":
-        # pallas trace operates on whole (8,128) ray tiles
+        # pallas trace operates on whole (8,128) ray tiles; the dense
+        # (pure-reduction) deposit additionally needs whole (na*nb) blocks,
+        # so align the chunk to lcm(TILE, na*nb)
         from raytrace_tpu.ops import pallas_kernel as pk
-        chunk = max(pk.TILE, (chunk // pk.TILE) * pk.TILE)
-        dense = False  # tile alignment conflicts with (na*nb)-block alignment
+        align = math.lcm(pk.TILE, blk) if dense else pk.TILE
+        chunk = max(align, (chunk // align) * align)
+    elif dense:
+        chunk = max(blk, (chunk // blk) * blk)
 
     n_chunks = math.ceil(B_total / chunk) if B_total else 0
     if dense:

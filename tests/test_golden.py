@@ -49,6 +49,18 @@ def test_fixture_golden(fixture, method):
     assert rel_img < 1e-5 and rel_ang < 1e-5
 
 
+def test_fixture_golden_dense_pallas():
+    """The pure-reduction (dense) deposit under the pallas backend: chunks
+    align to lcm(TILE, na*nb) so whole angular blocks land in whole ray
+    tiles. Measured slower than scatter on TPU (ROADMAP.md) but kept as a
+    tested capability (the deposit the reference's natural-order CPU loop
+    collapses to, src/RayTraceImageCPU.cpp:56-68)."""
+    problem, image0, i_ang0 = load_input(os.path.join(FIXTURES,
+                                                      "golden_ase.dat"))
+    image, i_ang = create_image(problem, "pallas", deposit="dense")
+    assert check_ans(image0, i_ang0, image, i_ang)
+
+
 # ---------------------------------------------------------------------------
 # full-snapshot tier (env-gated: minutes per case on the CPU test mesh)
 # ---------------------------------------------------------------------------

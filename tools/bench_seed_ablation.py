@@ -54,7 +54,7 @@ def main():
     if which in ("nobin", "trace"):
         real_bin = binning.bin_images
 
-        def fake_bin(Iv, res, rays, beam, method, scale, valid):
+        def fake_bin(Iv, res, rays, beam, method, scale, valid, deposit="scatter"):
             nx, ny = beam.x.shape[0], beam.y.shape[0]
             na, nb = beam.a.shape[0], beam.b.shape[0]
             img = jnp.zeros((nx * ny, Iv.shape[1]), jnp.float64)
