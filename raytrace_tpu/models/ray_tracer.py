@@ -525,9 +525,11 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         # smaller chunks bound the batched while-loop divergence (better
         # x-locality) but add scan steps; measured sweet spots per scale.
         # pallas runs per-(8,128)-tile trip counts, so divergence is bounded
-        # by the tile, not the chunk -- bigger chunks amortize better there.
+        # by the tile, not the chunk -- with the flattened kernel, 65536 wins
+        # on both workload families (ASE 0.133 s vs 0.135-0.154 at
+        # 16384/131072; seeded 0.847 s vs 0.849/0.858 at 131072/32768).
         if backend == "pallas":
-            chunk_size = 32768 if B_total < 2_000_000 else 65536
+            chunk_size = 65536
         else:
             chunk_size = 16384 if B_total < 2_000_000 else 32768
     chunk = min(chunk_size, max(B_total, 1))

@@ -201,58 +201,21 @@ def _fetch_cells(tab_seg_ref, k1m1, k2m1, work, nch):
     return jax.lax.fori_loop(jmin, jmax + 1, row_body, vals0)
 
 
-def _propagate_tile(act, sx, sy, sz, n0, dndx, dndy, box0, box1, box2, c):
-    """Batched ``propagate`` on a tile (same math as ops/stepper.py)."""
-    zero = jnp.zeros_like(sx)
-    dz_max = f32(c) * f32(1.00001) * box2
-
-    def cond(st):
-        return jnp.max(st[-1]) > f32(0.5)
-
-    def body(st):
-        rx, ry, rz, vsx, vsy, vsz, n_lag, path, af = st
-        a = _b(af)
-        n = n0 + rx * dndx + ry * dndy
-        t = (vsx * dndx + vsy * dndy + f32(1e-12)) / n
-        fx = dndx / n - vsx * t
-        fy = dndy / n - vsy * t
-        fz = -vsz * t
-        step = f32(c) * f32(0.1) / jnp.abs(t)
-        step = jnp.minimum(step, dz_max)
-        step2 = f32(1.0001) * (box2 - jnp.abs(rz)) / jnp.abs(vsz)
-        step3 = f32(c) * f32(0.05) * (jnp.abs(vsx) + f32(5e-4)) / (jnp.abs(fx) + f32(1e-8))
-        step4 = f32(c) * f32(0.05) * (jnp.abs(vsy) + f32(5e-4)) / (jnp.abs(fy) + f32(1e-8))
-        step = jnp.minimum(jnp.minimum(step, step2), jnp.minimum(step3, step4))
-        st_ = step * t
-        c1 = f32(0.5) * step * step * (f32(1.0) - st_ / f32(3.0) + st_ * st_ / f32(12.0))
-        nrx = rx + vsx * step + c1 * fx
-        nry = ry + vsy * step + c1 * fy
-        nrz = rz + vsz * step + c1 * fz
-        c2 = step * (f32(1.0) - f32(0.5) * st_ + st_ * st_ / f32(6.0))
-        ux, uy, uz = vsx + c2 * fx, vsy + c2 * fy, vsz + c2 * fz
-        inv = f32(1.0) / jnp.sqrt(ux * ux + uy * uy + uz * uz)
-        ux, uy, uz = ux * inv, uy * inv, uz * inv
-        npath = path + step
-        sel = lambda p, q: jnp.where(a, p, q)
-        nrx, nry, nrz = sel(nrx, rx), sel(nry, ry), sel(nrz, rz)
-        ux, uy, uz = sel(ux, vsx), sel(uy, vsy), sel(uz, vsz)
-        n = sel(n, n_lag)
-        npath = sel(npath, path)
-        still = ((jnp.abs(nrx) < box0) & (jnp.abs(nry) < box1)
-                 & (jnp.abs(nrz) < box2) & (jnp.abs(n - n0) < f32(0.05)))
-        return (nrx, nry, nrz, ux, uy, uz, n, npath, _m(a & still))
-
-    init_ok = act & (box2 > 0)
-    out = jax.lax.while_loop(
-        cond, body, (zero, zero, zero, sx, sy, sz, n0, zero, _m(init_ok)))
-    return out[:8]
-
-
 def _stepper_kernel(rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref, tab_ref,
                     gvl_ref, evl_ref, ivl_ref,
                     ex_ref, ey_ref, esx_ref, esy_ref, esz_ref, eesc_ref,
                     *, pg_meta, N, dz0, c):
     """Full multi-segment trace for one (8,128) tile of rays.
+
+    Loop structure (the flattened form proven in ops/fast_stepper.py): per
+    segment, ONE outer cell-walk loop with a per-lane sub-length counter
+    ``iz`` (all three sub-lengths merged), and ONE inner loop taking a
+    single adaptive micro-step per round with the per-propagate-call state
+    (n0, gradients, step box, displacement) carried per lane. The previous
+    nested form (per-(seg,isub) phases x propagate2-while x propagate-while)
+    cost ~prod of per-level batch maxima per tile; the flattened form costs
+    ~max over lanes of *total* micro-steps -- far smaller under divergence.
+    Per-lane micro-step sequences are identical (lockstep-tested).
 
     The initial direction vector (tan of the angles + backward sign +
     normalization, RayTraceImageHelper.h:404-418) is computed outside the
@@ -268,7 +231,33 @@ def _stepper_kernel(rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref, tab_ref,
     sx = rsx_ref[:]
     sy = rsy_ref[:]
     sz = rsz_ref[:]
-    escaped = jnp.zeros((TILE_ROWS, TILE_LANES), dtype=jnp.bool_)
+    # zero carries derived from lane data, NOT jnp.zeros: a splat constant
+    # gets a replicated Mosaic layout, and the while-body's concrete-layout
+    # yield then needs an invalid concrete->replicated relayout
+    zerosf = px * f32(0.0)
+    escf = zerosf  # escaped mask as f32 carry
+
+    # the per-lane sub-length counter iz, the storage index isub, and the
+    # cell ids all live in the f32 domain (exact for these small ints):
+    # i32 selects in while-loop carries trip a Mosaic relayout bug
+    # ("non-singleton dim replicated in destination but not in source")
+
+    # per-sub stop distances, f32-rounded exactly like the reference's
+    # dz0*(iz+1.0f)/N_SUB (RayTraceImageHelper.h:462)
+    zs_c = [f32(np.float32(np.float32(dz0) * np.float32(s + 1.0)
+                           / np.float32(N_SUB))) for s in range(N_SUB)]
+
+    def zs_of(iz):
+        return jnp.where(iz <= f32(0.5), zs_c[0],
+                         jnp.where(iz <= f32(1.5), zs_c[1], zs_c[2]))
+
+    def isub_of(iz):
+        return (f32(N_SUB - 1) - iz) if method == 1 else iz
+
+    def flush(out, mask, isub, cur):
+        return tuple(jnp.where(mask & (jnp.abs(isub - f32(s)) < f32(0.5)),
+                               cur, out[s])
+                     for s in range(N_SUB))
 
     for i in range(nseg):
         ii = N - i - 1 if method == 1 else i + 1
@@ -282,144 +271,233 @@ def _stepper_kernel(rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref, tab_ref,
         ny_t = pg_meta["ny"][ii]
         absy = pg_meta["absy"][ii]
         r0, r1, r2, r3 = (f32(np.float32(v)) for v in pg_meta["range4"][ii])
-        z = jnp.zeros((TILE_ROWS, TILE_LANES), f32)
+        box0 = f32(0.1) * dxc
+        box1 = f32(0.1) * dyc
 
-        for iz in range(N_SUB):
-            isub = N_SUB - iz - 1 if method == 1 else iz
-            z_stop995 = f32(np.float32(0.995) * np.float32(
-                np.float32(dz0) * np.float32(iz + 1.0) / np.float32(N_SUB)))
-            z_stop = np.float32(np.float32(dz0) * np.float32(iz + 1.0) / np.float32(N_SUB))
+        def l0_cond(st):
+            return _any(~_b(st["esc"]) & (st["iz"] < f32(N_SUB)))
 
-            def l0_cond(st):
-                return jnp.min(st["fin"]) < f32(0.5)
+        def l0_body(st):
+            p_x, p_y = st["px"], st["py"]
+            s_x, s_y, s_z = st["sx"], st["sy"], st["sz"]
+            esc_b = _b(st["esc"])
+            iz = st["iz"]
+            act0 = ~esc_b & (iz < f32(N_SUB))
+            # ---- sub-length advance: z passed 0.995*z_stop(iz) ------------
+            adv = act0 & (st["z"] >= f32(0.995) * zs_of(iz))
+            isub = isub_of(iz)
+            og = flush((st["og0"], st["og1"], st["og2"]), adv, isub, st["gvl"])
+            oe = flush((st["oe0"], st["oe1"], st["oe2"]), adv, isub, st["evl"])
+            oi = flush((st["oi0"], st["oi1"], st["oi2"]), adv, isub, st["ivl"])
+            gvl_cur = jnp.where(adv, f32(0.0), st["gvl"])
+            evl_cur = jnp.where(adv, f32(0.0), st["evl"])
+            ivl_cur = jnp.where(adv, f32(0.0), st["ivl"])
+            iz = jnp.where(adv, iz + f32(1.0), iz)
+            act = act0 & (iz < f32(N_SUB))
+            zs = zs_of(iz)
+            isub = isub_of(iz)
 
-            def l0_body(st):
-                p_x, p_y = st["px"], st["py"]
-                s_x, s_y, s_z = st["sx"], st["sy"], st["sz"]
-                esc = _b(st["esc"])
-                act = ~_b(st["fin"])
-                esc_now = act & ((p_x < r0) | (p_x > r1) | (p_y < r2)
-                                 | (p_y > r3) | (s_z * s_z < f32(0.01)))
-                esc = esc | esc_now
-                work = act & ~esc_now
+            esc_now = act & ((p_x < r0) | (p_x > r1) | (p_y < r2)
+                             | (p_y > r3) | (s_z * s_z < f32(0.01)))
+            # escaping lanes flush their partial sums for the current
+            # sub-length (the reference accumulates straight into
+            # gvl[ii-1][is], RayTraceImageHelper.h:501-503)
+            og = flush(og, esc_now, isub, gvl_cur)
+            oe = flush(oe, esc_now, isub, evl_cur)
+            oi = flush(oi, esc_now, isub, ivl_cur)
+            esc = esc_b | esc_now
+            work = act & ~esc_now
 
-                y_eff = jnp.abs(p_y) if absy else p_y
-                # uniform-grid interval index (== findindex on these grids)
-                qx = (p_x - x0) * inv_dx
-                qy = (y_eff - y0) * inv_dy
-                # explicit i32 bounds: jnp.clip materializes int64 scalars
-                # under x64 mode, which Mosaic cannot lower
-                k1m1 = jnp.minimum(jnp.maximum(
-                    jnp.ceil(qx).astype(jnp.int32) - 1, jnp.int32(0)),
-                    jnp.int32(nx_t - 2))
-                k2m1 = jnp.minimum(jnp.maximum(
-                    jnp.ceil(qy).astype(jnp.int32) - 1, jnp.int32(0)),
-                    jnp.int32(ny_t - 2))
-                vals = _fetch_cells(tab_ref.at[jnp.int32(ii)], k1m1, k2m1, work, nch)
-                n1, n2, n3, n4 = vals[0], vals[1], vals[2], vals[3]
-                gx1, gxd, gy1, gyd = vals[4], vals[5], vals[6], vals[7]
+            y_eff = jnp.abs(p_y) if absy else p_y
+            # uniform-grid interval index (== findindex on these grids)
+            qx = (p_x - x0) * inv_dx
+            qy = (y_eff - y0) * inv_dy
+            # explicit i32 bounds: jnp.clip materializes int64 scalars
+            # under x64 mode, which Mosaic cannot lower
+            k1m1 = jnp.minimum(jnp.maximum(
+                jnp.ceil(qx).astype(jnp.int32) - 1, jnp.int32(0)),
+                jnp.int32(nx_t - 2))
+            k2m1 = jnp.minimum(jnp.maximum(
+                jnp.ceil(qy).astype(jnp.int32) - 1, jnp.int32(0)),
+                jnp.int32(ny_t - 2))
+            vals = _fetch_cells(tab_ref.at[jnp.int32(ii)], k1m1, k2m1, work, nch)
+            n1, n2, n3, n4 = vals[0], vals[1], vals[2], vals[3]
+            gx1, gxd, gy1, gyd = vals[4], vals[5], vals[6], vals[7]
 
-                xlo = x0 + k1m1.astype(f32) * dxc
-                ylo = y0 + k2m1.astype(f32) * dyc
-                dxi = (p_x - xlo) * inv_dx
-                dyi = (y_eff - ylo) * inv_dy
-                dxi2c = f32(1.0) - dxi
-                dyi2c = f32(1.0) - dyi
-                g0c = ((dxi * vals[9] + dxi2c * vals[8]) * dyi2c
-                       + (dxi * vals[11] + dxi2c * vals[10]) * dyi)
-                if use_emis:
-                    E0c = ((dxi * vals[13] + dxi2c * vals[12]) * dyi2c
-                           + (dxi * vals[15] + dxi2c * vals[14]) * dyi)
-                    E0c = jnp.maximum(E0c, f32(0.0))
-                else:
-                    E0c = jnp.zeros_like(g0c)
+            xlo = x0 + k1m1.astype(f32) * dxc
+            ylo = y0 + k2m1.astype(f32) * dyc
+            dxi = (p_x - xlo) * inv_dx
+            dyi = (y_eff - ylo) * inv_dy
+            dxi2c = f32(1.0) - dxi
+            dyi2c = f32(1.0) - dyi
+            g0c = ((dxi * vals[9] + dxi2c * vals[8]) * dyi2c
+                   + (dxi * vals[11] + dxi2c * vals[10]) * dyi)
+            if use_emis:
+                E0c = ((dxi * vals[13] + dxi2c * vals[12]) * dyi2c
+                       + (dxi * vals[15] + dxi2c * vals[14]) * dyi)
+                E0c = jnp.maximum(E0c, f32(0.0))
+            else:
+                E0c = jnp.zeros_like(g0c)
 
-                exlo = xlo - f32(0.1) * dxc
-                exhi = xlo + dxc + f32(0.1) * dxc
-                eyhi = ylo + dyc + f32(0.1) * dyc
-                eylo_raw = ylo - f32(0.1) * dyc
+            exlo = xlo - f32(0.1) * dxc
+            exhi = xlo + dxc + f32(0.1) * dxc
+            eyhi = ylo + dyc + f32(0.1) * dyc
+            eylo_raw = ylo - f32(0.1) * dyc
+            if absy:
+                eylo = jnp.where(k2m1 <= 0, -eyhi, eylo_raw)
+            else:
+                eylo = eylo_raw
+            dz2 = zs - st["z"]
+
+            # ---- flattened in-cell walk: one adaptive micro-step per round
+            # (propagate body, RayTraceImageHelper.h:279-311), with the
+            # per-propagate-call cached state (n0, gradients, box, r) carried
+            # per lane and re-interpolated on commit (propagate2's per-call
+            # re-interp) -----------------------------------------------------
+            def interp_cell(px_, py_, z2_):
+                q_y = jnp.abs(py_) if absy else py_
+                dxi2 = (px_ - xlo) * inv_dx
+                dyi2 = (q_y - ylo) * inv_dy
+                n0 = ((dxi2 * n2 + (f32(1.0) - dxi2) * n1)
+                      * (f32(1.0) - dyi2)
+                      + (dxi2 * n4 + (f32(1.0) - dxi2) * n3) * dyi2)
+                dndx = gx1 + dyi2 * gxd
+                dndy = gy1 + dxi2 * gyd
                 if absy:
-                    eylo = jnp.where(k2m1 <= 0, -eyhi, eylo_raw)
-                else:
-                    eylo = eylo_raw
-                dz2 = f32(z_stop) - st["z"]
+                    dndy = jnp.where(py_ < 0, -dndy, dndy)
+                box2 = dz2 - z2_
+                return n0, dndx, dndy, box2
 
-                # ---- L1: in-cell interpolation walk (propagate2) ----------
-                def l1_cond(s1):
-                    return jnp.max(s1["act"]) > f32(0.5)
+            def fl_cond(s1):
+                return jnp.max(s1["act"]) > f32(0.5)
 
-                def l1_body(s1):
-                    a1 = _b(s1["act"])
-                    q_y = jnp.abs(s1["py"]) if absy else s1["py"]
-                    dxi2 = (s1["px"] - xlo) * inv_dx
-                    dyi2 = (q_y - ylo) * inv_dy
-                    n0 = ((dxi2 * n2 + (f32(1.0) - dxi2) * n1) * (f32(1.0) - dyi2)
-                          + (dxi2 * n4 + (f32(1.0) - dxi2) * n3) * dyi2)
-                    dndx = gx1 + dyi2 * gxd
-                    dndy = gy1 + dxi2 * gyd
-                    if absy:
-                        dndy = jnp.where(s1["py"] < 0, -dndy, dndy)
-                    box2 = dz2 - s1["z2"]
-                    rxx, ryy, rzz, ux, uy, uz, _, path = _propagate_tile(
-                        a1, s1["sx"], s1["sy"], s1["sz"], n0, dndx, dndy,
-                        f32(0.1) * dxc, f32(0.1) * dyc, box2, c)
-                    sel = lambda p, q: jnp.where(a1, p, q)
-                    npx = sel(s1["px"] + rxx, s1["px"])
-                    npy = sel(s1["py"] + ryy, s1["py"])
-                    npz = sel(s1["pz"] + rzz, s1["pz"])
-                    nz2 = sel(s1["z2"] + jnp.abs(rzz), s1["z2"])
-                    nds = sel(s1["ds"] + path, s1["ds"])
-                    nsx, nsy, nsz = sel(ux, s1["sx"]), sel(uy, s1["sy"]), sel(uz, s1["sz"])
-                    y2n = jnp.abs(npy) if absy else npy
-                    still = ((npx > exlo) & (npx < exhi) & (y2n > eylo)
-                             & (y2n < eyhi) & (nz2 < f32(0.999) * dz2))
-                    return {"px": npx, "py": npy, "pz": npz, "sx": nsx,
-                            "sy": nsy, "sz": nsz, "z2": nz2, "ds": nds,
-                            "act": _m(a1 & still)}
+            def fl_body(s1):
+                a1 = _b(s1["act"])
+                n0, dndx, dndy = s1["n0"], s1["dndx"], s1["dndy"]
+                box2 = s1["box2"]
+                n = n0 + s1["rx"] * dndx + s1["ry"] * dndy
+                t = (s1["sx"] * dndx + s1["sy"] * dndy + f32(1e-12)) / n
+                fx = dndx / n - s1["sx"] * t
+                fy = dndy / n - s1["sy"] * t
+                fz = -s1["sz"] * t
+                step = f32(c) * f32(0.1) / jnp.abs(t)
+                step = jnp.minimum(step, f32(c) * f32(1.00001) * box2)
+                step2 = f32(1.0001) * (box2 - jnp.abs(s1["rz"])) / jnp.abs(s1["sz"])
+                step3 = f32(c) * f32(0.05) * (jnp.abs(s1["sx"]) + f32(5e-4)) \
+                    / (jnp.abs(fx) + f32(1e-8))
+                step4 = f32(c) * f32(0.05) * (jnp.abs(s1["sy"]) + f32(5e-4)) \
+                    / (jnp.abs(fy) + f32(1e-8))
+                step = jnp.minimum(jnp.minimum(step, step2),
+                                   jnp.minimum(step3, step4))
+                st_ = step * t
+                c1 = f32(0.5) * step * step * (f32(1.0) - st_ / f32(3.0)
+                                               + st_ * st_ / f32(12.0))
+                rx = s1["rx"] + s1["sx"] * step + c1 * fx
+                ry = s1["ry"] + s1["sy"] * step + c1 * fy
+                rz = s1["rz"] + s1["sz"] * step + c1 * fz
+                c2 = step * (f32(1.0) - f32(0.5) * st_ + st_ * st_ / f32(6.0))
+                ux = s1["sx"] + c2 * fx
+                uy = s1["sy"] + c2 * fy
+                uz = s1["sz"] + c2 * fz
+                inv = f32(1.0) / jnp.sqrt(ux * ux + uy * uy + uz * uz)
+                ux, uy, uz = ux * inv, uy * inv, uz * inv
+                path = s1["path"] + step
+                n_lag = n
 
-                zero = jnp.zeros_like(p_x)
-                y20 = jnp.abs(p_y) if absy else p_y
-                l1a0 = work & ((p_x > exlo) & (p_x < exhi) & (y20 > eylo)
-                               & (y20 < eyhi) & (zero < f32(0.999) * dz2))
-                l1 = jax.lax.while_loop(l1_cond, l1_body, {
-                    "px": p_x, "py": p_y, "pz": zero, "sx": s_x, "sy": s_y,
-                    "sz": s_z, "z2": zero, "ds": zero, "act": _m(l1a0)})
+                sel = lambda p, q: jnp.where(a1, p, q)
+                rx = sel(rx, s1["rx"])
+                ry = sel(ry, s1["ry"])
+                rz = sel(rz, s1["rz"])
+                ux = sel(ux, s1["sx"])
+                uy = sel(uy, s1["sy"])
+                uz = sel(uz, s1["sz"])
+                path = sel(path, s1["path"])
+                n_lag = sel(n_lag, s1["n_lag"])
 
-                sel = lambda p, q: jnp.where(work, p, q)
-                nz = sel(st["z"] + jnp.abs(l1["pz"]), st["z"])
-                i1 = k1m1 + k2m1 * nx_t
+                # propagate-exit test (lagged-n drift check matches the
+                # reference's loop structure)
+                l2_ok = ((jnp.abs(rx) < box0) & (jnp.abs(ry) < box1)
+                         & (jnp.abs(rz) < box2)
+                         & (jnp.abs(n_lag - n0) < f32(0.05)))
+                commit = a1 & ~l2_ok
+                # commit the propagate call: pos += r, z2 += |rz|, ds += path
+                csel = lambda p, q: jnp.where(commit, p, q)
+                px_ = csel(s1["px"] + rx, s1["px"])
+                py_ = csel(s1["py"] + ry, s1["py"])
+                pz_ = csel(s1["pz"] + rz, s1["pz"])
+                z2_ = csel(s1["z2"] + jnp.abs(rz), s1["z2"])
+                ds_ = csel(s1["ds"] + path, s1["ds"])
+                # propagate2 loop condition on the committed state
+                y2n = jnp.abs(py_) if absy else py_
+                l1_ok = ((px_ > exlo) & (px_ < exhi) & (y2n > eylo)
+                         & (y2n < eyhi) & (z2_ < f32(0.999) * dz2))
+                reinit = commit & l1_ok
+                n0n, dndxn, dndyn, box2n = interp_cell(px_, py_, z2_)
+                rsel = lambda p, q: jnp.where(reinit, p, q)
+                zero = jnp.zeros_like(px_)
                 return {
-                    "px": sel(l1["px"], p_x), "py": sel(l1["py"], p_y),
-                    "sx": sel(l1["sx"], s_x), "sy": sel(l1["sy"], s_y),
-                    "sz": sel(l1["sz"], s_z), "z": nz, "esc": _m(esc),
-                    "gvl": sel(st["gvl"] + g0c * l1["ds"], st["gvl"]),
-                    "evl": sel(st["evl"] + E0c * l1["ds"], st["evl"]),
-                    "ivl": jnp.where(work, i1, st["ivl"]),
-                    "fin": _m(esc | (nz >= z_stop995)),
+                    "px": px_, "py": py_, "pz": pz_,
+                    "sx": ux, "sy": uy, "sz": uz,
+                    "z2": z2_, "ds": ds_,
+                    "rx": rsel(zero, rx), "ry": rsel(zero, ry),
+                    "rz": rsel(zero, rz), "path": rsel(zero, path),
+                    "n0": rsel(n0n, n0), "dndx": rsel(dndxn, dndx),
+                    "dndy": rsel(dndyn, dndy), "box2": rsel(box2n, box2),
+                    "n_lag": rsel(n0n, n_lag),
+                    "act": _m(a1 & (l2_ok | reinit)),
                 }
 
-            st0 = {
-                "px": px, "py": py, "sx": sx, "sy": sy, "sz": sz, "z": z,
-                "esc": _m(escaped),
-                "gvl": jnp.zeros((TILE_ROWS, TILE_LANES), f32),
-                "evl": jnp.zeros((TILE_ROWS, TILE_LANES), f32),
-                "ivl": jnp.zeros((TILE_ROWS, TILE_LANES), jnp.int32),
-                "fin": _m(escaped | (z >= z_stop995)),
+            zero = jnp.zeros_like(p_x)
+            y20 = jnp.abs(p_y) if absy else p_y
+            l1a0 = work & ((p_x > exlo) & (p_x < exhi) & (y20 > eylo)
+                           & (y20 < eyhi) & (zero < f32(0.999) * dz2))
+            n0_0, dndx_0, dndy_0, box2_0 = interp_cell(p_x, p_y, zero)
+            l1 = jax.lax.while_loop(fl_cond, fl_body, {
+                "px": p_x, "py": p_y, "pz": zero, "sx": s_x, "sy": s_y,
+                "sz": s_z, "z2": zero, "ds": zero,
+                "rx": zero, "ry": zero, "rz": zero, "path": zero,
+                "n0": n0_0, "dndx": dndx_0, "dndy": dndy_0,
+                "box2": box2_0, "n_lag": n0_0, "act": _m(l1a0)})
+
+            sel = lambda p, q: jnp.where(work, p, q)
+            nz = sel(st["z"] + jnp.abs(l1["pz"]), st["z"])
+            i1 = (k1m1 + k2m1 * jnp.int32(nx_t)).astype(f32)
+            return {
+                "px": sel(l1["px"], p_x), "py": sel(l1["py"], p_y),
+                "sx": sel(l1["sx"], s_x), "sy": sel(l1["sy"], s_y),
+                "sz": sel(l1["sz"], s_z), "z": nz, "esc": _m(esc),
+                "iz": iz,
+                "gvl": sel(gvl_cur + g0c * l1["ds"], gvl_cur),
+                "evl": sel(evl_cur + E0c * l1["ds"], evl_cur),
+                "ivl": jnp.where(work, i1, ivl_cur),
+                "og0": og[0], "og1": og[1], "og2": og[2],
+                "oe0": oe[0], "oe1": oe[1], "oe2": oe[2],
+                "oi0": oi[0], "oi1": oi[1], "oi2": oi[2],
             }
-            st = jax.lax.while_loop(l0_cond, l0_body, st0)
-            px, py = st["px"], st["py"]
-            sx, sy, sz = st["sx"], st["sy"], st["sz"]
-            z, escaped = st["z"], _b(st["esc"])
-            gvl_ref[ii - 1, isub] = st["gvl"]
-            evl_ref[ii - 1, isub] = st["evl"]
-            ivl_ref[ii - 1, isub] = st["ivl"]
+
+        st0 = {
+            "px": px, "py": py, "sx": sx, "sy": sy, "sz": sz,
+            "z": zerosf, "esc": escf, "iz": zerosf,
+            "gvl": zerosf, "evl": zerosf, "ivl": zerosf,
+            "og0": zerosf, "og1": zerosf, "og2": zerosf,
+            "oe0": zerosf, "oe1": zerosf, "oe2": zerosf,
+            "oi0": zerosf, "oi1": zerosf, "oi2": zerosf,
+        }
+        st = jax.lax.while_loop(l0_cond, l0_body, st0)
+        px, py = st["px"], st["py"]
+        sx, sy, sz = st["sx"], st["sy"], st["sz"]
+        escf = st["esc"]
+        for s in range(N_SUB):
+            gvl_ref[ii - 1, s] = st[f"og{s}"]
+            evl_ref[ii - 1, s] = st[f"oe{s}"]
+            ivl_ref[ii - 1, s] = st[f"oi{s}"].astype(jnp.int32)
 
     ex_ref[:] = px
     ey_ref[:] = py
     esx_ref[:] = sx
     esy_ref[:] = sy
     esz_ref[:] = sz
-    eesc_ref[:] = escaped.astype(jnp.int32)
+    eesc_ref[:] = _b(escf).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("meta_key", "N", "dz0", "c",

@@ -172,7 +172,7 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
         if backend == "pallas":
             # per-(8,128)-tile trip counts bound divergence inside the tile,
             # so bigger chunks amortize better (same policy as single-device)
-            chunk_size = 32768 if B_total < 2_000_000 else 65536
+            chunk_size = 65536
         else:
             chunk_size = 16384 if B_total < 2_000_000 else 32768
     chunk = min(chunk_size, max(B_total, 1))
