@@ -22,6 +22,7 @@ pay compilation once -- the analogue of the reference's GPU warmup fixture
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Callable
 
@@ -32,7 +33,8 @@ import numpy as np
 from raytrace_tpu.models.problem import (
     DeviceBeam, prepare_gain, prepare_seed,
 )
-from raytrace_tpu.ops import binning, fast_stepper, seed as seed_ops, spectrum, stepper
+from raytrace_tpu.ops import (binning, fast_stepper, pallas_amplify,
+                              seed as seed_ops, spectrum, stepper)
 from raytrace_tpu.structures import CreateImageProblem
 from raytrace_tpu.utils import errors as err_util
 from raytrace_tpu.utils.timer import profiler
@@ -171,7 +173,12 @@ def chunk_core(cfg: dict, trace_fn, ijkm, valid, ray_grids, trace_tables,
             Iv0 = seed_ops.calc_seed_batch(dseed, rays["x"], rays["y"],
                                            rays["a"], rays["b"], K)
         Iv0 = jnp.where(res.escaped[:, None], 0.0, Iv0).astype(spectrum_dtype)
-    Iv = spectrum.amplify(res, Iv0, gv_tables, N, use_emis, dtype=spectrum_dtype)
+    if isinstance(gv_tables, pallas_amplify.PackedGv):
+        Iv = spectrum.amplify(res, Iv0, gv_tables.gv, N, use_emis,
+                              dtype=spectrum_dtype, packed_gv=gv_tables)
+    else:
+        Iv = spectrum.amplify(res, Iv0, gv_tables, N, use_emis,
+                              dtype=spectrum_dtype)
     neg = jnp.any(Iv < 0.0, axis=1)
     nan = jnp.any(Iv != Iv, axis=1)
     code = jnp.where(res.perp, -1, jnp.where(neg, -2, jnp.where(nan, -3, 0)))
@@ -258,6 +265,12 @@ def _make_pipeline(cfg: dict, trace_fn):
                 dseed_u = dseed
         else:
             ray_grids_u, beam_u, dseed_u = ray_grids, beam, dseed
+        if cfg.get("fused_amplify"):
+            # exact bf16-triple split of the lineshape tables, once per call
+            # (outside the chunk scan) for the fused pallas log-gain kernel
+            gv_tables_u = pallas_amplify.pack_gv(gv_tables)
+        else:
+            gv_tables_u = gv_tables
         image0 = jnp.zeros((img_rows, K), dtype=jnp.float64)
         iang0 = jnp.zeros((dims and cfg["na_nb"],), dtype=jnp.float64)
 
@@ -269,7 +282,7 @@ def _make_pipeline(cfg: dict, trace_fn):
             ijkm = jnp.where(valid, ijkm, 0)
             img_p, ang_p, code = chunk_core(cfg, trace_fn, ijkm, valid,
                                             ray_grids_u, trace_tables,
-                                            gv_tables, dseed_u, beam_u)
+                                            gv_tables_u, dseed_u, beam_u)
             if dense:
                 r0 = (ci * rows_per_chunk).astype(jnp.int32)
                 z0 = jnp.int32(0)
@@ -550,11 +563,20 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         img_rows = max(nx * ny, n_chunks * (chunk // blk))
     else:
         img_rows = nx * ny
+    # fused pallas log-gain accumulation for the seeded amplify stage.
+    # OFF by default: measured 8.7 ms/chunk vs 2.2 ms for XLA's row-gathers
+    # on seed_small (the windowed one-hot MXU fetch loses to the native
+    # gather; ROADMAP.md dead-ends). Kept as an opt-in tested capability.
+    fused_amplify = (os.environ.get("RAYTRACE_FUSED_AMPLIFY") == "1"
+                     and backend == "pallas" and not use_emis
+                     and problem.N > 1
+                     and jnp.dtype(spectrum_dtype) == jnp.float32
+                     and K <= 128)
     cfg_key = (backend, problem.N, float(beam.dz), K, method, use_emis, dims,
                float(scale), str(jnp.dtype(spectrum_dtype)), float(c), chunk,
                dense, bin_deposit, n_chunks, problem.N_start,
                problem.N_parallel, fast_meta, pallas_meta, pack_layout,
-               beam_scalars, seed_f0)
+               beam_scalars, seed_f0, fused_amplify)
     if cfg_key not in _PIPELINE_CACHE:
         cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                    use_emis=use_emis, dims=dims, scale=float(scale),
@@ -564,7 +586,8 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
                    na_nb=na * nb, N_start=problem.N_start,
                    N_parallel=problem.N_parallel, fast_meta=fast_meta,
                    pallas_meta=pallas_meta, pack_layout=pack_layout,
-                   beam_scalars=beam_scalars, seed_f0=seed_f0)
+                   beam_scalars=beam_scalars, seed_f0=seed_f0,
+                   fused_amplify=fused_amplify)
         _PIPELINE_CACHE[cfg_key] = BACKENDS[backend](cfg)
     pipeline = _PIPELINE_CACHE[cfg_key]
 

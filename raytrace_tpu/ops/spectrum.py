@@ -114,13 +114,16 @@ def _exp_fast(g64):
 
 
 def amplify(res: TraceResult, Iv0, gv, N: int, use_emis: bool,
-            dtype=jnp.float64):
+            dtype=jnp.float64, packed_gv=None):
     """Apply the amplification ODE along each ray's recorded path.
 
     ``Iv0``: [B, K] initial (seed) intensity, already zeroed for escaped
     rays. ``gv``: [N-1, cells, K] float32 lineshape tables for segments
     1..N-1 (segment 0 is never read: the kernel always uses the
     high-energy-side segment, RayTraceImageHelper.h:430-441).
+    ``packed_gv``: optional ops.pallas_amplify.PackedGv of the same tables;
+    when given (pallas backend, f32 gain-only path) the log-gain
+    accumulation runs as a fused Pallas kernel instead of XLA row-gathers.
     Returns [B, K] of ``dtype``.
     """
     nseg = max(N - 1, 0)
@@ -161,6 +164,15 @@ def amplify(res: TraceResult, Iv0, gv, N: int, use_emis: bool,
 
     # gain-only fast path: accumulate the total log-gain, one exp
     # (RayTraceImageHelper.h:569-581)
+    if f32_mode and packed_gv is not None:
+        # fused pallas kernel: windowed one-hot MXU row fetch + in-kernel
+        # two-float MAC -- same ~1e-7 accuracy as the XLA accumulation
+        # below (ops/pallas_amplify.py), minus the 6 slow XLA row-gathers
+        from raytrace_tpu.ops import pallas_amplify
+
+        hi, lo = pallas_amplify.log_gain_fused(res.ivl, res.gvl, packed_gv,
+                                               res.gvl.shape[2])
+        return Iv * _exp_fast2(hi, lo)
     if f32_mode:
         # two-float accumulation: Dekker products + two-sum, all f32
         hi = jnp.zeros((B, K), dtype=jnp.float32)

@@ -18,6 +18,7 @@ A 1-device mesh degrades to the serial path (the no-MPI shim analogue).
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +62,9 @@ def make_sharded_pipeline(cfg: dict, trace_fn, mesh: Mesh):
         ray_grids, beam, dseed_u = ray_tracer.unpack_bundle(cfg, pack)
         if dseed_u is None:
             dseed_u = dseed
+        if cfg.get("fused_amplify"):
+            from raytrace_tpu.ops import pallas_amplify
+            gv_tables = pallas_amplify.pack_gv(gv_tables)
         image0 = jnp.zeros((dims[0] * dims[1] if False else cfg["img_cells"],
                             K), dtype=jnp.float64)
         iang0 = jnp.zeros((cfg["na_nb"],), dtype=jnp.float64)
@@ -184,11 +188,18 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
         chunk = per_dev * D
     n_chunks = math.ceil(B_total / chunk) if B_total else 0
 
+    # opt-in only: measured slower than XLA's row-gathers (see
+    # models/ray_tracer.py and ROADMAP.md dead-ends)
+    fused_amplify = (os.environ.get("RAYTRACE_FUSED_AMPLIFY") == "1"
+                     and backend == "pallas" and not use_emis
+                     and problem.N > 1
+                     and jnp.dtype(spectrum_dtype) == jnp.float32
+                     and K <= 128)
     cfg_key = ("sharded", id(mesh), backend, problem.N, float(beam.dz), K,
                method, use_emis, dims, float(scale),
                str(jnp.dtype(spectrum_dtype)), float(c), chunk, n_chunks,
                problem.N_start, problem.N_parallel, fast_meta, pallas_meta,
-               pack_layout, beam_scalars, seed_f0)
+               pack_layout, beam_scalars, seed_f0, fused_amplify)
     if cfg_key not in _SHARDED_CACHE:
         cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                    use_emis=use_emis, dims=dims, scale=float(scale),
@@ -198,7 +209,7 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
                    N_parallel=problem.N_parallel, fast_meta=fast_meta,
                    pallas_meta=pallas_meta,
                    pack_layout=pack_layout, beam_scalars=beam_scalars,
-                   seed_f0=seed_f0)
+                   seed_f0=seed_f0, fused_amplify=fused_amplify)
         if backend == "pallas":
             trace_fn = ray_tracer.make_pallas_trace_fn(cfg)
         elif backend == "lax":
