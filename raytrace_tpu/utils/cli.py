@@ -8,6 +8,17 @@ Usage (mirrors the reference flags, Readme.txt:42-59 / CreateImageHelpers.h:50-9
       -scale=S                   problem-size scale factor (default 1.0)
       -multichip                 also run the mesh-sharded path
       -spectrum=f64|f32          amplification precision (default f64)
+      -nprocs=P                  replicated multi-process benchmark: spawn a
+                                 local P-process group (the ``mpirun -np P``
+                                 workstation analogue, Readme.txt:43). Each
+                                 rank runs the whole problem; timings are
+                                 all-gathered and errors summed across ranks
+                                 exactly like the reference's MPI protocol.
+                                 Workers run on CPU (one chip cannot be
+                                 shared); on a real multi-host pod, launch
+                                 one process per host with the cluster
+                                 launcher instead -- ``distributed.startup()``
+                                 auto-detects the pod environment.
 
 Per file x method: a warmup call (the JIT analogue of the reference's GPU
 warmup fixture, CreateImage.cpp:118-132), ``iterations`` timed calls,
@@ -17,6 +28,9 @@ timing-stability gates. Exit code = number of errors.
 
 from __future__ import annotations
 
+import os
+import socket
+import subprocess
 import sys
 import time
 
@@ -48,6 +62,7 @@ class Options:
         self.scale = 1.0
         self.multichip = False
         self.spectrum = "f32"
+        self.nprocs = 1
         self.files: list[str] = []
         for arg in argv:
             if arg.startswith("-methods="):
@@ -60,6 +75,8 @@ class Options:
                 self.multichip = True
             elif arg.startswith("-spectrum="):
                 self.spectrum = arg.split("=", 1)[1]
+            elif arg.startswith("-nprocs="):
+                self.nprocs = int(arg.split("=", 1)[1])
             elif arg.startswith("-"):
                 raise SystemExit(f"Unknown option: {arg}")
             else:
@@ -124,11 +141,59 @@ def run_tests(filename: str, options: Options) -> int:
     return n_errors
 
 
+def _launch_process_group(argv, nprocs: int) -> int:
+    """Spawn the local P-process group (the ``mpirun -np P`` analogue).
+
+    Each worker re-runs this CLI with the same flags plus the process-group
+    environment; rank gating in pio keeps output to rank 0. Exit code is the
+    max of the workers' (each already carries the cross-rank error sum)."""
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    procs = []
+    for pid in range(nprocs):
+        env = dict(os.environ)
+        env.update(RAYTRACE_COORD=f"localhost:{port}",
+                   RAYTRACE_NPROCS=str(nprocs), RAYTRACE_PROC_ID=str(pid),
+                   # one real chip cannot be shared by P processes; the
+                   # replicated-benchmark group runs on CPU like the
+                   # reference's workstation mpirun runs
+                   RAYTRACE_FORCE_CPU="1")
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "raytrace_tpu.utils.cli", *argv],
+            env=env))
+    return max(p.wait() for p in procs)
+
+
+def _maybe_join_process_group() -> None:
+    """Worker-side startup: join the group announced in the environment
+    (the MPI_Init the launcher's ranks perform, src/MPI_helpers.h:9-11)."""
+    if "RAYTRACE_PROC_ID" not in os.environ:
+        return
+    import jax
+
+    if os.environ.get("RAYTRACE_FORCE_CPU") == "1":
+        # must run before backend init; the env-var spelling is ignored
+        # once the TPU plugin is importable
+        jax.config.update("jax_platforms", "cpu")
+    from raytrace_tpu.parallel import distributed
+
+    distributed.startup(
+        coordinator_address=os.environ["RAYTRACE_COORD"],
+        num_processes=int(os.environ["RAYTRACE_NPROCS"]),
+        process_id=int(os.environ["RAYTRACE_PROC_ID"]))
+
+
 def main(argv=None) -> int:
-    options = Options(sys.argv[1:] if argv is None else argv)
+    argv = sys.argv[1:] if argv is None else argv
+    options = Options(argv)
     if not options.files:
         print(__doc__)
         return 1
+    if options.nprocs > 1 and "RAYTRACE_PROC_ID" not in os.environ:
+        return _launch_process_group(argv, options.nprocs)
+    _maybe_join_process_group()
     n_errors = 0
     for filename in options.files:
         n_errors += run_tests(filename, options)

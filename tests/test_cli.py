@@ -63,3 +63,26 @@ def test_stability_gates(capsys):
     n = stability_errors(TimingStats.of([1.0, 1.0, 2.0]))
     capsys.readouterr()
     assert n == 2
+
+
+def test_cli_nprocs_process_group():
+    """-nprocs=P spawns a local process group (the mpirun analogue): Gloo
+    collectives pool timings/errors across ranks and rank 0 prints the
+    verdict. Uses the committed fixture so workers need no tmp plumbing."""
+    import os
+    import subprocess
+    import sys
+
+    fixture = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "fixtures", "golden_ase.dat")
+    env = dict(os.environ)
+    # the workers themselves force CPU; scrub this process's test-mesh env
+    env.pop("XLA_FLAGS", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "raytrace_tpu.utils.cli", "-methods=lax",
+         "-iterations=1", "-nprocs=2", fixture],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "All tests passed" in r.stdout
