@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <utility>
 #include <vector>
 
 #define NPY_NO_DEPRECATED_API NPY_1_7_API_VERSION
@@ -337,6 +338,121 @@ PyObject *py_norms(PyObject *, PyObject *args) {
     return Py_BuildValue("ddd", sqrt(na_), sqrt(nb_), sqrt(nd));
 }
 
+// ---------------------------------------------------------------------------
+// dual-array quicksort + unique: the native sort tier of the interp library
+// (same algorithm family as /root/reference/src/AtomicModel/interp.hpp:146-358
+// -- iterative median-of-3 quicksort with an insertion-sort cutover on
+// subarrays < 7, carrying an optional payload array through every swap)
+// ---------------------------------------------------------------------------
+
+static void qsort_dual(npy_intp n, double *arr, double *brr) {
+    if (n <= 1) return;
+    npy_intp istack[128];
+    int jstack = 0;
+    npy_intp l = 0, ir = n - 1;
+    for (;;) {
+        if (ir - l < 7) {  // insertion sort on small subarrays
+            for (npy_intp j = l + 1; j <= ir; j++) {
+                double a = arr[j];
+                double b = brr ? brr[j] : 0.0;
+                npy_intp i;
+                for (i = j - 1; i >= l; i--) {
+                    if (arr[i] <= a) break;
+                    arr[i + 1] = arr[i];
+                    if (brr) brr[i + 1] = brr[i];
+                }
+                arr[i + 1] = a;
+                if (brr) brr[i + 1] = b;
+            }
+            if (jstack == 0) return;
+            ir = istack[--jstack];
+            l = istack[--jstack];
+        } else {
+            npy_intp k = (l + ir) / 2;  // median-of-3 pivot selection
+            std::swap(arr[k], arr[l + 1]);
+            if (brr) std::swap(brr[k], brr[l + 1]);
+            if (arr[l] > arr[ir]) {
+                std::swap(arr[l], arr[ir]);
+                if (brr) std::swap(brr[l], brr[ir]);
+            }
+            if (arr[l + 1] > arr[ir]) {
+                std::swap(arr[l + 1], arr[ir]);
+                if (brr) std::swap(brr[l + 1], brr[ir]);
+            }
+            if (arr[l] > arr[l + 1]) {
+                std::swap(arr[l], arr[l + 1]);
+                if (brr) std::swap(brr[l], brr[l + 1]);
+            }
+            npy_intp i = l + 1, j = ir;
+            double a = arr[l + 1];
+            double b = brr ? brr[l + 1] : 0.0;
+            for (;;) {  // partition
+                do i++; while (arr[i] < a);
+                do j--; while (arr[j] > a);
+                if (j < i) break;
+                std::swap(arr[i], arr[j]);
+                if (brr) std::swap(brr[i], brr[j]);
+            }
+            arr[l + 1] = arr[j];
+            arr[j] = a;
+            if (brr) { brr[l + 1] = brr[j]; brr[j] = b; }
+            if (jstack > 124) return;  // cannot happen for n < 2^63
+            if (ir - i + 1 >= j - l) {  // push larger side, recurse smaller
+                istack[jstack++] = i;
+                istack[jstack++] = ir;
+                ir = j - 1;
+            } else {
+                istack[jstack++] = l;
+                istack[jstack++] = j - 1;
+                l = i;
+            }
+        }
+    }
+}
+
+PyObject *py_quicksort(PyObject *, PyObject *args) {
+    PyObject *x_obj, *y_obj = Py_None;
+    if (!PyArg_ParseTuple(args, "O|O", &x_obj, &y_obj)) return nullptr;
+    PyArrayObject *x = (PyArrayObject *)PyArray_FROM_OTF(
+        x_obj, NPY_FLOAT64, NPY_ARRAY_ENSURECOPY | NPY_ARRAY_C_CONTIGUOUS);
+    if (!x) return nullptr;
+    PyArrayObject *y = nullptr;
+    if (y_obj != Py_None) {
+        y = (PyArrayObject *)PyArray_FROM_OTF(
+            y_obj, NPY_FLOAT64, NPY_ARRAY_ENSURECOPY | NPY_ARRAY_C_CONTIGUOUS);
+        if (!y) { Py_DECREF(x); return nullptr; }
+        if (PyArray_SIZE(y) != PyArray_SIZE(x)) {
+            Py_DECREF(x); Py_DECREF(y);
+            set_err("payload size mismatch");
+            return nullptr;
+        }
+    }
+    qsort_dual(PyArray_SIZE(x), (double *)PyArray_DATA(x),
+               y ? (double *)PyArray_DATA(y) : nullptr);
+    if (!y) return (PyObject *)x;
+    PyObject *r = Py_BuildValue("NN", x, y);
+    return r;
+}
+
+PyObject *py_unique(PyObject *, PyObject *args) {
+    PyObject *x_obj;
+    if (!PyArg_ParseTuple(args, "O", &x_obj)) return nullptr;
+    PyArrayObject *x = (PyArrayObject *)PyArray_FROM_OTF(
+        x_obj, NPY_FLOAT64, NPY_ARRAY_ENSURECOPY | NPY_ARRAY_C_CONTIGUOUS);
+    if (!x) return nullptr;
+    npy_intp n = PyArray_SIZE(x);
+    double *p = (double *)PyArray_DATA(x);
+    qsort_dual(n, p, nullptr);
+    npy_intp m = 0;  // in-place dedup of the sorted array (interp::unique)
+    for (npy_intp i = 0; i < n; i++)
+        if (m == 0 || p[i] != p[m - 1]) p[m++] = p[i];
+    npy_intp dims_[1] = {m};
+    PyObject *out = PyArray_SimpleNew(1, dims_, NPY_FLOAT64);
+    if (out) memcpy(PyArray_DATA((PyArrayObject *)out), p, m * sizeof(double));
+    Py_DECREF(x);
+    return out;
+}
+
 PyMethodDef methods[] = {
     {"parse_create_image", py_parse_create_image, METH_VARARGS,
      "Fast native scan/parse of a create_image blob."},
@@ -344,6 +460,10 @@ PyMethodDef methods[] = {
      "Decompress a zero-stripped array payload (modes 0/1/2)."},
     {"norms", py_norms, METH_VARARGS,
      "(||a||, ||b||, ||a-b||) in one native pass."},
+    {"quicksort", py_quicksort, METH_VARARGS,
+     "Dual-array quicksort: sort x (f64 copy), co-permuting optional y."},
+    {"unique", py_unique, METH_VARARGS,
+     "Sort + deduplicate (native)."},
     {nullptr, nullptr, 0, nullptr},
 };
 

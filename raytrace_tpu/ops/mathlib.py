@@ -101,9 +101,24 @@ def n_linear(grids, f, point):
 # sorting (interp.hpp:146-436) -- numpy-native with identical semantics
 # ---------------------------------------------------------------------------
 
+try:  # native sort tier (see native/raytrace_native.cpp); numpy fallback
+    import raytrace_native as _native
+except ImportError:  # pragma: no cover - extension always built in-tree
+    _native = None
+
+
 def quicksort(x, y=None):
     """Sort x ascending; optionally co-sort a payload array (the dual-array
-    quicksort, interp.hpp:146-358). Returns (x_sorted[, y_sorted])."""
+    quicksort, interp.hpp:146-358). Returns (x_sorted[, y_sorted]).
+
+    Runs the native iterative median-of-3 quicksort (same algorithm family
+    as the reference, insertion-sort cutover on subarrays < 7) when the
+    extension is importable; numpy argsort otherwise.
+    """
+    if _native is not None:
+        return _native.quicksort(np.asarray(x, np.float64),
+                                 None if y is None
+                                 else np.asarray(y, np.float64))
     x = np.asarray(x)
     order = np.argsort(x, kind="stable")
     if y is None:
@@ -113,6 +128,8 @@ def quicksort(x, y=None):
 
 def unique(x):
     """Sort + deduplicate (interp::unique, interp.hpp:361-436)."""
+    if _native is not None:
+        return _native.unique(np.asarray(x, np.float64))
     return np.unique(np.asarray(x))
 
 
@@ -121,16 +138,45 @@ def unique(x):
 # ---------------------------------------------------------------------------
 
 def calc_width(x, y):
-    """Gaussian-equivalent FWHM of a profile: the width of the window
-    centered on the distribution mean that contains 76.1% of the energy
-    (erf(2 sqrt(ln 2) sigma) for a Gaussian), scaled to FWHM."""
+    """Gaussian-equivalent FWHM of a profile (interp::calc_width,
+    interp.cpp:157-201): the narrowest window [x[i], x2] containing
+    f = erf(sqrt(ln 2)) = 76.0968% of the energy, minimized over every
+    starting sample (NOT centered on the mean -- asymmetric profiles keep
+    the reference's sliding-window semantics). Trapezoid cumulative on the
+    (possibly non-uniform) grid; window end found by linear interpolation
+    of the normalized cumulative. Returns -1.0 on the reference's error
+    cases (fewer than 2 points, negative y, unsorted x, all-zero y)."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    n = len(x)
+    if n < 2 or np.any(y < 0.0) or np.any(np.diff(x) <= 0.0):
+        return -1.0
+    ys = np.concatenate([[0.0], np.cumsum(np.diff(x) * 0.5
+                                          * (y[1:] + y[:-1]))])
+    if ys[-1] == 0.0:
+        return -1.0
+    ys = ys / ys[-1]
+    f = 0.760968108550488  # erf(sqrt(log(2)))
+    fwhm = x[-1] - x[0]
+    for i in range(n):
+        if ys[i] > 1.0 - f:
+            break
+        x2 = float(interp_linear(ys, x, ys[i] + f))
+        if x2 - x[i] < fwhm:
+            fwhm = x2 - x[i]
+    return float(fwhm)
+
+
+def _calc_width_centered(x, y):
+    """The centered-window variant kept for comparison/diagnostics (same
+    76.1% mass, window centered on the distribution mean)."""
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     tot = np.trapezoid(y, x)
     if tot <= 0:
         return 0.0
     mean = np.trapezoid(x * y, x) / tot
-    target = 0.7610640039796869  # erf(sqrt(ln 2)) -- central mass of a
+    target = 0.760968108550488  # erf(sqrt(ln 2)) -- central mass of a
     # Gaussian within +-FWHM/2
 
     def frac(w):
@@ -184,27 +230,68 @@ def bisection(fn, lb, ub, tol1=1e-12, tol2=1e-12, max_iter=200):
 # fast approximate pow/exp (interp.hpp:475-576)
 # ---------------------------------------------------------------------------
 
-def fast_pow(x, p):
-    """Approximate x**p via exp2(p*log2(x)) in float32 -- the bit-twiddling
-    trick the reference uses, expressed with explicit f32 transcendentals
-    (same ~1e-3 relative accuracy class)."""
-    x = np.asarray(x, np.float32)
-    return np.exp2(np.float32(p) * np.log2(x)).astype(np.float32)
+def _fast_log2(v):
+    """The reference's cubic-polynomial log2 on the raw IEEE-754 bits
+    (interp.hpp:475-498): exponent field minus bias plus a 3rd-order fit of
+    log2(1 + fraction). ~4e-3 absolute accuracy, branch-free."""
+    bits = np.atleast_1d(np.asarray(v, np.float64)).view(np.uint64)
+    e = ((bits >> np.uint64(52)) & np.uint64(0x7FF)).astype(np.float64) - 1023.0
+    m = 2.220446049250313e-16 * (bits & np.uint64(0xFFFFFFFFFFFFF)).astype(np.float64)
+    return e + m * (1.420864533971306
+                    + m * (0.156386111143355 * m - 0.577250645114661))
 
 
-def fast_exp_avg(x, y, w):
-    """Approximate exp-weighted running average x*(1-w) + y*w in f32
-    (interp::fast_exp_avg's role in the production app)."""
-    x = np.asarray(x, np.float32)
-    y = np.asarray(y, np.float32)
-    return x + np.float32(w) * (y - x)
+def _fast_exp2(t):
+    """The matching exp2: exact 2^w via the exponent field times a cubic
+    2^fraction fit; w computed with the reference's int-cast convention
+    ((int)(t - 1) for negative t). Returns 0 below the normal range."""
+    t = np.atleast_1d(np.asarray(t, np.float64))
+    w = np.where(t < 0, t - 1.0, t).astype(np.int64)  # C (int) truncation
+    f = t - w
+    f2 = 1.0 + f * (0.693147180559945
+                    + f * (0.230508889200065 + 0.076343930239989 * f))
+    pw = ((w + 1023).astype(np.uint64) << np.uint64(52)).view(np.float64)
+    return np.where(w < -1022, 0.0, f2 * pw)
 
 
-def get_interp_ratio(x, lo, hi):
-    """Normalized interpolation coordinate of x in [lo, hi], clamped to
-    [0, 1] (interp::get_interp_ratio)."""
-    r = (np.asarray(x, np.float64) - lo) / (hi - lo)
-    return np.clip(r, 0.0, 1.0)
+def fast_pow(x, y):
+    """Approximate x**y = exp2(y * log2(x)) via the reference's IEEE-754
+    bit manipulation (interp::fast_pow, interp.hpp:475-498): same log2 and
+    exp2 polynomials, same int-cast power split, same x == +0 special case.
+    Faithful to the reference's double-precision expression graph
+    (agreement to the last rounding of each step)."""
+    xa = np.atleast_1d(np.asarray(x, np.float64))
+    x_zero = xa.view(np.uint64) == 0
+    out = _fast_exp2(_fast_log2(xa) * np.float64(y))
+    out = np.where(x_zero, 0.0, out)
+    return out if np.ndim(x) else float(out[0])
+
+
+def fast_exp_avg(ai, xi):
+    """Fast approximate weighted geometric mean exp2(sum ai * log2(xi))
+    (interp::fast_exp_avg, interp.hpp:502-533): the log2-domain weighted
+    sum with the same polynomial log2/exp2 pair. The weights ``ai`` are the
+    averaging coefficients (sum to 1 for a true average)."""
+    ai = np.asarray(ai, np.float64)
+    xi = np.asarray(xi, np.float64)
+    t = float(np.sum(ai * _fast_log2(xi)))
+    return float(_fast_exp2(t)[0])
+
+
+def get_interp_ratio(x0, x1, x, use_log=False, extrap=False):
+    """Interpolation coordinate of x in [x0, x1] (interp::get_interp_ratio,
+    interp.hpp:537-576): linear ratio, or the log-grid ratio computed with
+    the polynomial log2 (log(x/x0)/log(x1/x0)); clamped to [0, 1] unless
+    ``extrap``."""
+    if not use_log:
+        y = (np.asarray(x, np.float64) - x0) / (x1 - x0)
+    else:
+        y = _fast_log2(np.asarray(x, np.float64) / x0) / _fast_log2(x1 / x0)
+        if np.ndim(x) == 0:
+            y = y[0]
+    if not extrap:
+        y = np.clip(y, 0.0, 1.0)
+    return y
 
 
 # ---------------------------------------------------------------------------

@@ -82,3 +82,60 @@ def test_pio_streams(capsys):
     captured = capsys.readouterr()
     assert "hello 42" in captured.out
     assert pio.stringf("%s-%d", "a", 1) == "a-1"
+
+
+def test_calc_width_reference_semantics():
+    """The reference minimizes the 76.0968%-energy window over every
+    starting sample (interp.cpp:190-198) -- an asymmetric profile must get
+    the narrowest window, not the mean-centered one."""
+    x = np.linspace(0.0, 10.0, 2001)
+    # sharp peak near 2 + broad shelf: narrowest 76% window hugs the peak
+    y = np.exp(-0.5 * ((x - 2.0) / 0.2) ** 2) + 0.02
+    w = ml.calc_width(x, y)
+    assert 0 < w < 8.0
+    assert w < ml._calc_width_centered(x, y) + 1e-9
+    # reference error returns
+    assert ml.calc_width([1.0], [1.0]) == -1.0
+    assert ml.calc_width([0.0, 1.0], [1.0, -1.0]) == -1.0
+    assert ml.calc_width([1.0, 0.5], [1.0, 1.0]) == -1.0
+    assert ml.calc_width([0.0, 1.0], [0.0, 0.0]) == -1.0
+
+
+def test_fast_exp_avg_geomean():
+    """fast_exp_avg = exp2(sum ai*log2 xi): the log-domain weighted average
+    (interp.hpp:502-533), NOT a linear lerp."""
+    ai = np.array([0.5, 0.5])
+    xi = np.array([4.0, 16.0])
+    got = ml.fast_exp_avg(ai, xi)
+    assert got == pytest.approx(8.0, rel=1e-3)  # geometric mean
+    # single value with weight 1: identity up to polynomial error
+    assert ml.fast_exp_avg([1.0], [7.3]) == pytest.approx(7.3, rel=1e-3)
+
+
+def test_get_interp_ratio_log():
+    assert ml.get_interp_ratio(0.0, 4.0, 1.0) == pytest.approx(0.25)
+    assert ml.get_interp_ratio(0.0, 4.0, 9.0) == 1.0  # clamped
+    assert ml.get_interp_ratio(0.0, 4.0, 9.0, extrap=True) == pytest.approx(2.25)
+    r = ml.get_interp_ratio(1.0, 100.0, 10.0, use_log=True)
+    assert r == pytest.approx(0.5, abs=2e-3)
+
+
+def test_fast_pow_reference_bit_semantics():
+    """fast_pow mirrors the reference's IEEE-754 expression graph
+    (interp.hpp:475-498): +0 base and exponent-underflow return exactly 0,
+    accuracy ~1e-3 in the normal range."""
+    assert ml.fast_pow(0.0, 2.0) == 0.0
+    assert ml.fast_pow(1e-300, 2.0) == 0.0  # w < -1022 underflow path
+    x = np.array([0.001, 0.5, 1.7, 42.0, 1e20])
+    np.testing.assert_allclose(ml.fast_pow(x, 1.5), x ** 1.5, rtol=2e-3)
+    np.testing.assert_allclose(ml.fast_pow(x, -0.7), x ** -0.7, rtol=2e-3)
+
+
+def test_native_quicksort_matches_numpy():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 40, 5000).astype(np.float64)
+    y = x * 2.0 + 0.25  # key-linked payload: pairing must survive the sort
+    xs, ys = ml.quicksort(x, y)
+    assert np.array_equal(xs, np.sort(x))
+    assert np.allclose(ys, xs * 2.0 + 0.25)
+    assert np.array_equal(ml.unique(x), np.unique(x))
