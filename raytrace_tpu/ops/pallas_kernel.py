@@ -201,8 +201,8 @@ def _fetch_cells(tab_seg_ref, k1m1, k2m1, work, nch):
     return jax.lax.fori_loop(jmin, jmax + 1, row_body, vals0)
 
 
-def _stepper_kernel(rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref, tab_ref,
-                    gvl_ref, evl_ref, ivl_ref,
+def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
+                    tab_ref, gvl_ref, evl_ref, ivl_ref,
                     ex_ref, ey_ref, esx_ref, esy_ref, esz_ref, eesc_ref,
                     *, pg_meta, N, dz0, c):
     """Full multi-segment trace for one (8,128) tile of rays.
@@ -216,6 +216,14 @@ def _stepper_kernel(rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref, tab_ref,
     cost ~prod of per-level batch maxima per tile; the flattened form costs
     ~max over lanes of *total* micro-steps -- far smaller under divergence.
     Per-lane micro-step sequences are identical (lockstep-tested).
+
+    The segment loop is a ``lax.fori_loop`` with the per-segment geometry
+    (grid origin/spacing, escape range, grid sizes) read as SMEM scalars
+    from ``smeta_ref`` [N, 12], so the compiled program size is O(1) in N:
+    a python-unrolled build is fine at the shipped N = 3 but Mosaic compile
+    time explodes past tens of minutes by N = 6 (the reference supports
+    N_MAX = 20). Only the y-mirror convention stays compile-time (checked
+    uniform across segments -- it always is: one problem, one grid family).
 
     The initial direction vector (tan of the angles + backward sign +
     normalization, RayTraceImageHelper.h:404-418) is computed outside the
@@ -259,18 +267,30 @@ def _stepper_kernel(rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref, tab_ref,
                                cur, out[s])
                      for s in range(N_SUB))
 
-    for i in range(nseg):
-        ii = N - i - 1 if method == 1 else i + 1
-        x0 = f32(np.float32(pg_meta["x0"][ii]))
-        y0 = f32(np.float32(pg_meta["y0"][ii]))
-        dxc = f32(np.float32(pg_meta["dxc"][ii]))
-        dyc = f32(np.float32(pg_meta["dyc"][ii]))
-        inv_dx = f32(np.float32(1.0) / np.float32(pg_meta["dxc"][ii]))
-        inv_dy = f32(np.float32(1.0) / np.float32(pg_meta["dyc"][ii]))
-        nx_t = pg_meta["nx"][ii]
-        ny_t = pg_meta["ny"][ii]
-        absy = pg_meta["absy"][ii]
-        r0, r1, r2, r3 = (f32(np.float32(v)) for v in pg_meta["range4"][ii])
+    # the y-mirror convention is structural (it decides whether |y| feeds
+    # the index math) and uniform across a problem's segments; keep it
+    # compile-time so the hot loop carries no per-step selects for it
+    absy_used = {bool(a) for a in pg_meta["absy"][1:]} or {False}
+    if len(absy_used) > 1:
+        raise NotImplementedError(
+            "mixed per-segment y-mirror conventions: use the lax backend")
+    absy = absy_used.pop()
+
+    def seg_body(i, carry):
+        px, py, sx, sy, sz, escf = carry
+        ii = (jnp.int32(N - 1) - i) if method == 1 else (i + jnp.int32(1))
+        x0 = smeta_ref[ii, 0]
+        y0 = smeta_ref[ii, 1]
+        dxc = smeta_ref[ii, 2]
+        dyc = smeta_ref[ii, 3]
+        inv_dx = smeta_ref[ii, 4]
+        inv_dy = smeta_ref[ii, 5]
+        r0 = smeta_ref[ii, 6]
+        r1 = smeta_ref[ii, 7]
+        r2 = smeta_ref[ii, 8]
+        r3 = smeta_ref[ii, 9]
+        nx_i = smeta_ref[ii, 10].astype(jnp.int32)
+        ny_i = smeta_ref[ii, 11].astype(jnp.int32)
         box0 = f32(0.1) * dxc
         box1 = f32(0.1) * dyc
 
@@ -316,10 +336,10 @@ def _stepper_kernel(rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref, tab_ref,
             # under x64 mode, which Mosaic cannot lower
             k1m1 = jnp.minimum(jnp.maximum(
                 jnp.ceil(qx).astype(jnp.int32) - 1, jnp.int32(0)),
-                jnp.int32(nx_t - 2))
+                nx_i - jnp.int32(2))
             k2m1 = jnp.minimum(jnp.maximum(
                 jnp.ceil(qy).astype(jnp.int32) - 1, jnp.int32(0)),
-                jnp.int32(ny_t - 2))
+                ny_i - jnp.int32(2))
             vals = _fetch_cells(tab_ref.at[jnp.int32(ii)], k1m1, k2m1, work, nch)
             n1, n2, n3, n4 = vals[0], vals[1], vals[2], vals[3]
             gx1, gxd, gy1, gyd = vals[4], vals[5], vals[6], vals[7]
@@ -461,7 +481,7 @@ def _stepper_kernel(rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref, tab_ref,
 
             sel = lambda p, q: jnp.where(work, p, q)
             nz = sel(st["z"] + jnp.abs(l1["pz"]), st["z"])
-            i1 = (k1m1 + k2m1 * jnp.int32(nx_t)).astype(f32)
+            i1 = (k1m1 + k2m1 * nx_i).astype(f32)
             return {
                 "px": sel(l1["px"], p_x), "py": sel(l1["py"], p_y),
                 "sx": sel(l1["sx"], s_x), "sy": sel(l1["sy"], s_y),
@@ -484,13 +504,16 @@ def _stepper_kernel(rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref, tab_ref,
             "oi0": zerosf, "oi1": zerosf, "oi2": zerosf,
         }
         st = jax.lax.while_loop(l0_cond, l0_body, st0)
-        px, py = st["px"], st["py"]
-        sx, sy, sz = st["sx"], st["sy"], st["sz"]
-        escf = st["esc"]
+        iim1 = ii - jnp.int32(1)
         for s in range(N_SUB):
-            gvl_ref[ii - 1, s] = st[f"og{s}"]
-            evl_ref[ii - 1, s] = st[f"oe{s}"]
-            ivl_ref[ii - 1, s] = st[f"oi{s}"].astype(jnp.int32)
+            gvl_ref[pl.ds(iim1, 1), s] = st[f"og{s}"][None]
+            evl_ref[pl.ds(iim1, 1), s] = st[f"oe{s}"][None]
+            ivl_ref[pl.ds(iim1, 1), s] = st[f"oi{s}"].astype(jnp.int32)[None]
+        return (st["px"], st["py"], st["sx"], st["sy"], st["sz"], st["esc"])
+
+    px, py, sx, sy, sz, escf = jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(nseg), seg_body,
+        (px, py, sx, sy, sz, escf))
 
     ex_ref[:] = px
     ey_ref[:] = py
@@ -521,6 +544,21 @@ def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret):
     kernel = functools.partial(_stepper_kernel, pg_meta=pg_meta, N=N,
                                dz0=dz0, c=c)
     grid = (T,)
+
+    # per-segment geometry scalars for the kernel's SMEM-driven segment
+    # loop, f32-rounded exactly as the previously-unrolled constants were
+    smeta_np = np.zeros((N, 12), np.float32)
+    for s in range(N):
+        smeta_np[s, 0] = np.float32(pg_meta["x0"][s])
+        smeta_np[s, 1] = np.float32(pg_meta["y0"][s])
+        smeta_np[s, 2] = np.float32(pg_meta["dxc"][s])
+        smeta_np[s, 3] = np.float32(pg_meta["dyc"][s])
+        smeta_np[s, 4] = np.float32(1.0) / np.float32(pg_meta["dxc"][s])
+        smeta_np[s, 5] = np.float32(1.0) / np.float32(pg_meta["dyc"][s])
+        smeta_np[s, 6:10] = [np.float32(v) for v in pg_meta["range4"][s]]
+        smeta_np[s, 10] = np.float32(pg_meta["nx"][s])
+        smeta_np[s, 11] = np.float32(pg_meta["ny"][s])
+    smeta = jnp.asarray(smeta_np)
     # index maps derive zeros from the grid index (t * 0) so they stay i32:
     # python-int constants are traced as i64 under x64 mode, which Mosaic
     # cannot return from the index function
@@ -537,14 +575,18 @@ def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret):
     out_one = pl.BlockSpec((1, TILE_ROWS, TILE_LANES), _imap(3),
                            memory_space=pltpu.VMEM)
 
-    def k(rx_ref, ry_ref, sx_ref, sy_ref, sz_ref, tab_ref,
+    def k(smeta_ref, rx_ref, ry_ref, sx_ref, sy_ref, sz_ref, tab_ref,
           gvl_ref, evl_ref, ivl_ref,
           ex_ref, ey_ref, esx_ref, esy_ref, esz_ref, eesc_ref):
-        kernel(rx_ref.at[0], ry_ref.at[0], sx_ref.at[0], sy_ref.at[0],
-               sz_ref.at[0], tab_ref,
-               gvl_ref.at[0], evl_ref.at[0], ivl_ref.at[0],
-               ex_ref.at[0], ey_ref.at[0], esx_ref.at[0], esy_ref.at[0],
-               esz_ref.at[0], eesc_ref.at[0])
+        # i32 leading index: a bare python 0 traces as i64 under x64 mode,
+        # which trips tpu.memref_slice once the segment dim is sliced
+        # dynamically inside the kernel
+        z = jnp.int32(0)
+        kernel(smeta_ref, rx_ref.at[z], ry_ref.at[z], sx_ref.at[z],
+               sy_ref.at[z], sz_ref.at[z], tab_ref,
+               gvl_ref.at[z], evl_ref.at[z], ivl_ref.at[z],
+               ex_ref.at[z], ey_ref.at[z], esx_ref.at[z], esy_ref.at[z],
+               esz_ref.at[z], eesc_ref.at[z])
 
     def _imap_zero(n):
         def f(t):
@@ -554,6 +596,8 @@ def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret):
 
     # the tables block is the full array and must NOT advance with the grid
     tab_spec = pl.BlockSpec(tables.shape, _imap_zero(4), memory_space=pltpu.VMEM)
+    smeta_spec = pl.BlockSpec(smeta.shape, _imap_zero(2),
+                              memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         k,
         grid=grid,
@@ -568,12 +612,12 @@ def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret):
             jax.ShapeDtypeStruct((T, TILE_ROWS, TILE_LANES), jnp.float32),
             jax.ShapeDtypeStruct((T, TILE_ROWS, TILE_LANES), jnp.int32),
         ),
-        in_specs=[ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
-                  tab_spec],
+        in_specs=[smeta_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+                  ray_spec, tab_spec],
         out_specs=(out_big, out_big, out_big, out_one, out_one, out_one,
                    out_one, out_one, out_one),
         interpret=interpret,
-    )(rx, ry, sx, sy, sz, tables)
+    )(smeta, rx, ry, sx, sy, sz, tables)
     return outs
 
 

@@ -258,3 +258,16 @@ def test_exp_fast2_accuracy():
     gm1 = np.asarray(_expm1_fast2(jnp.asarray(hi), jnp.asarray(lo)), np.float64)
     rel1 = np.abs(gm1 - np.expm1(ref)) / np.maximum(np.abs(np.expm1(ref)), 1e-12)
     assert rel1.max() < 1e-6, rel1.max()
+
+
+def test_many_segments_pallas_matches_lax():
+    """N > 3 through the pallas backend: the kernel's fori segment loop
+    (SMEM-scalar geometry) must agree with the lax backend at any segment
+    count up to the reference's N_MAX. A python-unrolled kernel was O(N) in
+    compiled program size and Mosaic compile time exploded past N ~ 5."""
+    p1 = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5, N=7)
+    img_l, ang_l = create_image(p1, "lax")
+    p2 = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5, N=7)
+    img_p, ang_p = create_image(p2, "pallas")
+    assert np.linalg.norm(img_p - img_l) / np.linalg.norm(img_l) < _JITTER_TOL
+    assert np.linalg.norm(ang_p - ang_l) / np.linalg.norm(ang_l) < _JITTER_TOL
