@@ -17,9 +17,10 @@ import numpy as np
 
 __all__ = [
     "interp_linear", "bilinear", "trilinear", "n_linear",
-    "quicksort", "unique", "calc_width", "bisection",
+    "quicksort", "unique", "calc_width", "bisection", "bisection_coeff",
     "fast_pow", "fast_exp_avg", "get_interp_ratio",
     "integrate_midpoint", "integrate_simpson", "integrate_adaptive",
+    "integrate_adaptive_2d", "integrate_adaptive_3d",
 ]
 
 
@@ -200,30 +201,65 @@ def _calc_width_centered(x, y):
 # modified bisection root finder (interp::bisection, interp.cpp:205-268)
 # ---------------------------------------------------------------------------
 
-def bisection(fn, lb, ub, tol1=1e-12, tol2=1e-12, max_iter=200):
+def bisection_coeff(x_in, r_in):
+    """Next evaluation point for the modified bisection (interp::
+    bisection_coeff, interp.cpp:205-268): sign-normalize the residuals so
+    the bracket minimum maps to negative r, co-sort (r, x), tighten the
+    bracket around the sign change, then pick the next point by the
+    reference's staged policy -- plain midpoint for the first few
+    evaluations, an uneven 80/20 step at a bracket boundary, and pchip
+    inverse interpolation of x(r) at r = 0 (pulled 10% toward the bracket
+    midpoint) once 5+ samples exist. Returns (y, (range0, range1))."""
+    x = np.array(x_in, np.float64, copy=True)
+    r = np.array(r_in, np.float64, copy=True)
+    n = len(x)
+    if n < 2:
+        raise ValueError("bisection_coeff: N < 2")
+    if r[int(np.argmin(x))] > 0:
+        r = -r
+    r, x = quicksort(r, x)
+    if r[0] > 0.0 or r[-1] < 0.0:
+        raise ValueError("r does not have two different signs")
+    index = int(np.searchsorted(r, 0.0, side="left"))
+    index = max(1, min(index, n - 1))
+    lo = max(np.max(x[:index]), x[index - 1])
+    hi = min(np.min(x[index:]), x[index])
+    if n < 5:
+        y = 0.5 * (lo + hi)
+    elif index == 1:
+        y = 0.8 * x[0] + 0.2 * x[1]
+    elif index == n - 1:
+        y = 0.2 * x[n - 2] + 0.8 * x[n - 1]
+    else:
+        from raytrace_tpu.ops.oracle import interp_pchip
+
+        y = float(interp_pchip(r, x, 0.0))
+        y = max(min(y, hi), lo)
+        y = 0.9 * y + 0.1 * (0.5 * (lo + hi))
+    return y, (lo, hi)
+
+
+def bisection(fn, lb, ub, tol1=1e-12, tol2=1e-12, max_iter=500):
     """Find x in [lb, ub] with fn(x) = 0, assuming a sign change over the
-    bracket. Uses the reference's secant-accelerated bisection: each step
-    tries the secant point, clamped into the current bracket."""
-    f_lb = fn(lb)
-    f_ub = fn(ub)
-    if f_lb == 0:
-        return lb
-    if f_ub == 0:
-        return ub
-    if np.sign(f_lb) == np.sign(f_ub):
-        raise ValueError("bisection: no sign change over the bracket")
-    for _ in range(max_iter):
-        # secant proposal, clamped away from the bracket edges
-        x = lb - f_lb * (ub - lb) / (f_ub - f_lb)
-        x = min(max(x, lb + 0.01 * (ub - lb)), ub - 0.01 * (ub - lb))
-        f = fn(x)
-        if abs(f) <= tol2 or (ub - lb) <= tol1:
-            return x
-        if np.sign(f) == np.sign(f_lb):
-            lb, f_lb = x, f
-        else:
-            ub, f_ub = x, f
-    return 0.5 * (lb + ub)
+    bracket (interp::bisection, interp.hpp:440-470): every evaluation is
+    kept and each step's guess comes from :func:`bisection_coeff` over the
+    full history; stops when |f| <= tol1 or the bracket width <= tol2."""
+    xs = [float(lb), float(ub)]
+    fs = [float(fn(lb)), float(fn(ub))]
+    if abs(fs[0]) < tol1 or abs(fs[1]) < tol1:
+        return xs[0] if abs(fs[0]) < tol1 else xs[1]
+    if (fs[0] < 0) == (fs[1] < 0):
+        raise ValueError("bisection: sign(f(lb)) == sign(f(ub))")
+    lo, hi = lb, ub
+    while (hi - lo) > tol2:
+        y, (lo, hi) = bisection_coeff(xs, fs)
+        xs.append(y)
+        fs.append(float(fn(y)))
+        if abs(fs[-1]) < tol1:
+            break
+        if len(xs) > max_iter:
+            raise RuntimeError("bisection: excessive number of iterations")
+    return xs[-1]
 
 
 # ---------------------------------------------------------------------------
@@ -336,3 +372,23 @@ def integrate_adaptive(fn, a, b, tol=1e-10, max_depth=30):
     fa, fm, fb = fn(a), fn(m), fn(b)
     return float(recurse(a, b, fa, fm, fb, simpson(fa, fm, fb, a, b),
                          tol, max_depth))
+
+
+def integrate_adaptive_2d(fn, range4, tol=1e-8):
+    """2-D adaptive Simpson as nested 1-D passes (the reference's 4-range
+    ``interp::integrate`` overload, interp.hpp:654-672): the outer variable
+    integrates a closure that adaptively integrates the inner one."""
+    x0, x1, y0, y1 = range4
+    return integrate_adaptive(
+        lambda y: integrate_adaptive(lambda x: fn(x, y), x0, x1, tol),
+        y0, y1, tol)
+
+
+def integrate_adaptive_3d(fn, range6, tol=1e-6):
+    """3-D adaptive Simpson (the 6-range overload, interp.hpp:673-693):
+    nested over the 2-D integrator exactly like the reference."""
+    x0, x1, y0, y1, z0, z1 = range6
+    return integrate_adaptive(
+        lambda z: integrate_adaptive_2d(lambda x, y: fn(x, y, z),
+                                        (x0, x1, y0, y1), tol),
+        z0, z1, tol)

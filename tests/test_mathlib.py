@@ -139,3 +139,29 @@ def test_native_quicksort_matches_numpy():
     assert np.array_equal(xs, np.sort(x))
     assert np.allclose(ys, xs * 2.0 + 0.25)
     assert np.array_equal(ml.unique(x), np.unique(x))
+
+
+def test_bisection_reference_protocol():
+    """The modified bisection keeps every evaluation and proposes via
+    bisection_coeff (midpoint -> uneven boundary step -> pchip inverse
+    interpolation, interp.cpp:205-268)."""
+    root = ml.bisection(lambda x: x ** 3 - 2.0, 0.0, 2.0, tol1=1e-13,
+                        tol2=1e-13)
+    assert root == pytest.approx(2.0 ** (1 / 3), rel=1e-9)
+    # boundary-hugging root exercises the 80/20 uneven branch
+    root = ml.bisection(lambda x: np.tanh(50 * (x - 0.02)), 0.0, 1.0,
+                        tol1=1e-12, tol2=1e-10)
+    assert root == pytest.approx(0.02, abs=1e-8)
+    with pytest.raises(ValueError):
+        ml.bisection(lambda x: 1.0 + x * x, -1.0, 1.0)
+    y, (lo, hi) = ml.bisection_coeff([0.0, 1.0], [-1.0, 1.0])
+    assert lo == 0.0 and hi == 1.0 and y == 0.5
+
+
+def test_integrate_nested():
+    # int_0^1 int_0^2 x*y dy dx = (1/2)*(2) = 1
+    v = ml.integrate_adaptive_2d(lambda x, y: x * y, (0.0, 1.0, 0.0, 2.0))
+    assert v == pytest.approx(1.0, rel=1e-8)
+    v3 = ml.integrate_adaptive_3d(
+        lambda x, y, z: x + y + z, (0.0, 1.0, 0.0, 1.0, 0.0, 1.0))
+    assert v3 == pytest.approx(1.5, rel=1e-6)
