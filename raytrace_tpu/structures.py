@@ -420,13 +420,18 @@ class IntensityStep:
 
     def sum_reduce(self, mesh=None, axis=None) -> None:
         """Sum accumulators across devices (TPU analogue of the reference's
-        MPI_Allreduce-based intensity_step_struct::sum_reduce)."""
+        MPI_Allreduce-based intensity_step_struct::sum_reduce), instrumented
+        with the reference's profiler region name
+        (RayTraceStructures.cpp:1610)."""
         from raytrace_tpu.parallel import collectives
+        from raytrace_tpu.utils.timer import profiler
 
+        profiler.start("Sum reduce images")
         arrays = list(self._all_arrays())
         reduced = collectives.host_sum_arrays(arrays, mesh=mesh)
         for dst, src in zip(arrays, reduced):
             dst[:] = src
+        profiler.stop("Sum reduce images")
 
     def valid(self) -> bool:
         """No negative or NaN intensities (RayTraceStructures.cpp:1647-1682)."""
