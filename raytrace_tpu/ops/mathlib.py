@@ -17,6 +17,7 @@ import numpy as np
 
 __all__ = [
     "interp_linear", "bilinear", "trilinear", "n_linear",
+    "find_first_loop", "find_first_hash",
     "quicksort", "unique", "calc_width", "bisection", "bisection_coeff",
     "fast_pow", "fast_exp_avg", "get_interp_ratio",
     "integrate_midpoint", "integrate_simpson", "integrate_adaptive",
@@ -101,6 +102,29 @@ def n_linear(grids, f, point):
 # ---------------------------------------------------------------------------
 # sorting (interp.hpp:146-436) -- numpy-native with identical semantics
 # ---------------------------------------------------------------------------
+
+def find_first_loop(X, Y):
+    """Batch find-first-element >= Y[j] by linear-scan semantics
+    (interp::findfirstloop, interp.hpp:77-91): unlike the bisection
+    variants this does NOT assume X sorted -- it returns the first index in
+    scan order, len(X) on a miss."""
+    X = np.asarray(X)
+    Y = np.asarray(Y)
+    M = X[None, :] >= Y[:, None]
+    hit = M.any(axis=1)
+    return np.where(hit, M.argmax(axis=1), len(X))
+
+
+def find_first_hash(X, Y):
+    """Batch find-first via per-query bisection (interp::findfirsthash,
+    interp.hpp:93-117). Boundary quirk faithfully kept: queries ABOVE the
+    table's last element return len(X) - 1 here, while the loop/single
+    variants return len(X)."""
+    X = np.asarray(X)
+    Y = np.asarray(Y)
+    idx = np.searchsorted(X, Y, side="left")
+    return np.where(X[-1] < Y, len(X) - 1, idx)
+
 
 try:  # native sort tier (see native/raytrace_native.cpp); numpy fallback
     import raytrace_native as _native

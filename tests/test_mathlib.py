@@ -165,3 +165,16 @@ def test_integrate_nested():
     v3 = ml.integrate_adaptive_3d(
         lambda x, y, z: x + y + z, (0.0, 1.0, 0.0, 1.0, 0.0, 1.0))
     assert v3 == pytest.approx(1.5, rel=1e-6)
+
+
+def test_findfirst_variants():
+    X = np.array([1.0, 3.0, 5.0, 7.0])
+    Y = np.array([0.0, 3.0, 4.0, 8.0])
+    # loop/single semantics: first index with X >= y, len(X) on miss
+    assert np.array_equal(ml.find_first_loop(X, Y), [0, 1, 2, 4])
+    # hash boundary quirk: above-the-table queries return len(X) - 1
+    assert np.array_equal(ml.find_first_hash(X, Y), [0, 1, 2, 3])
+    # loop variant is scan-order first on UNSORTED tables
+    Xu = np.array([5.0, 1.0, 3.0])
+    assert np.array_equal(ml.find_first_loop(Xu, np.array([2.0, 9.0])),
+                          [0, 3])
