@@ -23,7 +23,8 @@ def _uniform_grid(lo, hi, n):
 
 def synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6, N=3, seeded=False,
                       seed_dim=21, rng=None, non_uniform_gain=False,
-                      refraction_free=False) -> CreateImageProblem:
+                      refraction_free=False,
+                      full_plane=False) -> CreateImageProblem:
     """A miniature ASE or seeded work unit with smooth random gain tables.
 
     ``refraction_free``: constant index of refraction (n = 1 everywhere, so
@@ -34,6 +35,10 @@ def synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6, N=3, seeded=False,
     chaos to hide a half-cell indexing bug. The gain tables stay nonzero so
     the cell walk, bilinear gain interpolation, and path integrals are all
     still exercised.
+
+    ``full_plane``: grids span negative y too (the reference's abs_y mirror
+    is OFF: RayTraceImageHelper.h:325-336 only mirrors when y[0] >= 0), so
+    the non-mirrored index/gradient/binning paths get exercised.
     """
     rng = np.random.default_rng(rng)
     p = CreateImageProblem()
@@ -50,7 +55,10 @@ def synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6, N=3, seeded=False,
     beam.Nc = 3.8e24
     beam.R_scale = beam.G_scale = -1.0
     beam.x, beam.dx = _uniform_grid(1e-4, 6e-3, nx)
-    beam.y, beam.dy = _uniform_grid(0.0, 2.4e-3, ny)
+    if full_plane:
+        beam.y, beam.dy = _uniform_grid(-2.4e-3, 2.4e-3, ny)
+    else:
+        beam.y, beam.dy = _uniform_grid(0.0, 2.4e-3, ny)
     beam.a, beam.da = _uniform_grid(-10.0, 8.0, na)
     beam.b, beam.db = _uniform_grid(-9.0, 5.0, nb)
     beam.z = np.linspace(0.0, 0.05 * (N - 1), max(N, 2))
@@ -64,7 +72,10 @@ def synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6, N=3, seeded=False,
     gains = []
     Nx, Ny = 30, 12
     gx, _ = _uniform_grid(0.0, 7e-3, Nx)
-    gy, _ = _uniform_grid(0.0, 2.45e-3, Ny)
+    if full_plane:
+        gy, _ = _uniform_grid(-2.45e-3, 2.45e-3, Ny)
+    else:
+        gy, _ = _uniform_grid(0.0, 2.45e-3, Ny)
     gx = np.sort(gx)
     gy = np.sort(gy)
     if non_uniform_gain:
@@ -99,7 +110,10 @@ def synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6, N=3, seeded=False,
     if seeded:
         sb = SeedBeam()
         sb.x, sb.dx = _uniform_grid(5e-4, 5.5e-3, nx + 2)
-        sb.y, sb.dy = _uniform_grid(0.0, 2.2e-3, ny)
+        if full_plane:
+            sb.y, sb.dy = _uniform_grid(-2.2e-3, 2.2e-3, ny)
+        else:
+            sb.y, sb.dy = _uniform_grid(0.0, 2.2e-3, ny)
         sb.a, sb.da = _uniform_grid(-6.0, 6.0, na + 1)
         sb.b, sb.db = _uniform_grid(-6.0, 6.0, nb + 1)
         sb.Wx = sb.Wy = 1e-3

@@ -271,3 +271,28 @@ def test_many_segments_pallas_matches_lax():
     img_p, ang_p = create_image(p2, "pallas")
     assert np.linalg.norm(img_p - img_l) / np.linalg.norm(img_l) < _JITTER_TOL
     assert np.linalg.norm(ang_p - ang_l) / np.linalg.norm(ang_l) < _JITTER_TOL
+
+
+def test_full_plane_ase_all_backends():
+    """absy = False (grids span negative y): the un-mirrored index walk,
+    gradient handling, escape range, and binning paths. The shipped inputs
+    are all half-plane, so without this the mirror-off branches are dead
+    code in the test suite (RayTraceImageHelper.h:325-336 mirrors only when
+    y[0] >= 0)."""
+    p = synthetic_problem(nx=6, ny=5, na=4, nb=3, nv=5, full_plane=True)
+    want_img, want_ang = _oracle_images(p, 1)
+    for backend in ("lax", "lax-exact", "pallas"):
+        p2 = synthetic_problem(nx=6, ny=5, na=4, nb=3, nv=5, full_plane=True)
+        img, ang = create_image(p2, backend, chunk_size=4096)
+        rel = np.linalg.norm(img - want_img) / np.linalg.norm(want_img)
+        assert rel < _JITTER_TOL, (backend, rel)
+
+
+def test_full_plane_seeded_pallas_matches_lax():
+    p1 = synthetic_problem(nx=6, ny=5, na=4, nb=3, nv=5, seeded=True,
+                           full_plane=True)
+    img_l, ang_l = create_image(p1, "lax")
+    p2 = synthetic_problem(nx=6, ny=5, na=4, nb=3, nv=5, seeded=True,
+                           full_plane=True)
+    img_p, ang_p = create_image(p2, "pallas")
+    assert np.linalg.norm(img_p - img_l) / max(np.linalg.norm(img_l), 1e-300) < _JITTER_TOL
