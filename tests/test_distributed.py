@@ -106,3 +106,51 @@ def test_two_process_collectives():
         assert p.returncode == 0, f"rank {pid} failed:\n{out}"
         assert f"RESULT[{pid}] ALL_PASS" in out, out
         assert "FAIL" not in out, out
+
+
+@pytest.mark.slow
+def test_production_loop_two_process_matches_single():
+    """The full-app iteration contract (tools/production_loop.py): each
+    rank computes its ray stride, IntensityStep::sum_reduce spans the
+    process group, and the reduced per-step energy must equal the
+    single-process value (the stride partition covers the same rays)."""
+    import re
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    # both sides on CPU: the f32 trace differs per platform at ulp level,
+    # which amplification turns into ~1e-7 -- not what this test gates on
+    env["RAYTRACE_FORCE_CPU"] = "1"
+
+    def esums(text):
+        return [float(m) for m in re.findall(r"E_sum=([0-9.e+-]+)", text)]
+
+    r1 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "production_loop.py")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r1.returncode == 0, r1.stdout + r1.stderr
+    ref = esums(r1.stdout)
+    assert len(ref) == 2 and all(v > 0 for v in ref)
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tools", "production_loop.py"),
+             str(pid), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=REPO, text=True)
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    assert all(p.returncode == 0 for p in procs), outs[0] + outs[1]
+    got = esums(outs[0])  # rank 0 prints (pio gates rank > 0)
+    assert len(got) == 2
+    for a, b in zip(ref, got):
+        assert abs(a - b) / a < 1e-10, (ref, got)
