@@ -526,13 +526,19 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
              and B_total == Nt and deposit == "dense")
     if deposit == "auto":
         # measured: the MXU deposit wins on the seeded workload (119 big
-        # chunks, nv=82); ASE's 13 small chunks favor the scatter
+        # chunks, nv=82); ASE's 13 small chunks favor the scatter. The
+        # matmul deposit is f32-internal, so f64 spectrum mode keeps the
+        # scatter path to preserve the full-precision deposit contract.
         bin_deposit = ("matmul" if backend == "pallas" and method == 2
-                       and jax.default_backend() == "tpu" else "scatter")
-    elif deposit in ("matmul", "scatter"):
-        bin_deposit = deposit
+                       and jax.default_backend() == "tpu"
+                       and jnp.dtype(spectrum_dtype) == jnp.float32
+                       else "scatter")
+    elif deposit in ("matmul", "scatter", "dense"):
+        bin_deposit = deposit if deposit != "dense" else "scatter"
     else:
-        bin_deposit = "scatter"
+        raise err_util.RayTraceError(
+            f"Unknown deposit strategy '{deposit}' "
+            "(expected auto/dense/matmul/scatter)")
     blk = dims[2] * dims[3]
     if chunk_size is None:
         # smaller chunks bound the batched while-loop divergence (better

@@ -83,22 +83,9 @@ def _deposit_matmul(contrib, bins, C: int):
     B, K = contrib.shape
     oh = (bins[:, None] == jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
           ).astype(jnp.bfloat16)
-    c32 = contrib.astype(jnp.float32)
+    from raytrace_tpu.ops.deposit_kernel import split_bf16x3
 
-    # split by bit-masking (truncation): the top 16 bits of an f32 ARE its
-    # truncated bfloat16, so each plane is exact and the residual subtraction
-    # cannot be algebraically simplified away (XLA folds the rounding-based
-    # split c32 - f32(bf16(c32)) to zero)
-    def trunc_bf16(x):
-        t = jax.lax.bitcast_convert_type(
-            jax.lax.bitcast_convert_type(x, jnp.uint32) & jnp.uint32(0xFFFF0000),
-            jnp.float32)
-        return t, t.astype(jnp.bfloat16)
-
-    hi32, hi = trunc_bf16(c32)
-    r1 = c32 - hi32
-    mid32, mid = trunc_bf16(r1)
-    lo = (r1 - mid32).astype(jnp.bfloat16)
+    hi, mid, lo = split_bf16x3(contrib.astype(jnp.float32))
     rhs = jnp.concatenate([hi, mid, lo], axis=1)          # [B, 3K]
     out = jax.lax.dot_general(oh, rhs, (((0,), (0,)), ((), ())),
                               preferred_element_type=jnp.float32)
@@ -139,23 +126,25 @@ def bin_images(Iv, res, rays, beam: DeviceBeam, method: int, scale, valid,
     # deposit runs in ~f32 precision (per-chunk partial sums; ~3e-7
     # relative at 500k rays/chunk) and accumulates across chunks in the
     # caller's float64 buffers.
+    def _dep(x2d, dep_bins, C):
+        """One deposit, strategy-dispatched: pallas MXU kernel on TPU with
+        tile-aligned batches, the XLA one-hot matmul otherwise, or the
+        portable segment_sum scatter."""
+        if deposit == "matmul":
+            from raytrace_tpu.ops import deposit_kernel as dk
+
+            if (jax.default_backend() == "tpu"
+                    and x2d.shape[0] % dk.DEPOSIT_TILE == 0):
+                # pallas kernel: one-hot stays in VMEM (ops/deposit_kernel)
+                return dk.deposit_tiles(x2d.astype(jnp.float32),
+                                        dep_bins.astype(jnp.int32), C)
+            return _deposit_matmul(x2d, dep_bins, C)
+        return jax.ops.segment_sum(x2d, dep_bins, num_segments=C)
+
     img_ok = valid & (i1 >= 0) & (i2 >= 0)
     img_bin = jnp.where(img_ok, i1 + i2 * nx, nx * ny)
     contrib = Iv * jnp.asarray(scale, Iv.dtype)
-    if deposit == "matmul":
-        from raytrace_tpu.ops import deposit_kernel as dk
-
-        if (jax.default_backend() == "tpu"
-                and contrib.shape[0] % dk.DEPOSIT_TILE == 0):
-            # pallas kernel: one-hot stays in VMEM (see ops/deposit_kernel)
-            image = dk.deposit_tiles(contrib.astype(jnp.float32),
-                                     img_bin.astype(jnp.int32),
-                                     nx * ny + 1)[:-1]
-        else:
-            image = _deposit_matmul(contrib, img_bin, nx * ny + 1)[:-1]
-    else:
-        image = jax.ops.segment_sum(contrib, img_bin,
-                                    num_segments=nx * ny + 1)[:-1]
+    image = _dep(contrib, img_bin, nx * ny + 1)[:-1]
 
     # far-field: sum_v 2 dv Iv then scatter into i3 + i4*na. TPU scatter
     # cost is per-element (latency-bound), so even this [B]-sized deposit
@@ -163,16 +152,5 @@ def bin_images(Iv, res, rays, beam: DeviceBeam, method: int, scale, valid,
     ang_ok = valid & (i3 >= 0) & (i4 >= 0)
     ang_bin = jnp.where(ang_ok, i3 + i4 * na, na * nb)
     tmp = Iv @ (2.0 * beam.dv).astype(Iv.dtype)
-    if deposit == "matmul":
-        from raytrace_tpu.ops import deposit_kernel as dk
-
-        if (jax.default_backend() == "tpu"
-                and tmp.shape[0] % dk.DEPOSIT_TILE == 0):
-            i_ang = dk.deposit_tiles(tmp.astype(jnp.float32)[:, None],
-                                     ang_bin.astype(jnp.int32),
-                                     na * nb + 1)[:-1, 0]
-        else:
-            i_ang = _deposit_matmul(tmp[:, None], ang_bin, na * nb + 1)[:-1, 0]
-    else:
-        i_ang = jax.ops.segment_sum(tmp, ang_bin, num_segments=na * nb + 1)[:-1]
+    i_ang = _dep(tmp[:, None], ang_bin, na * nb + 1)[:-1, 0]
     return image.astype(jnp.float64), i_ang.astype(jnp.float64)

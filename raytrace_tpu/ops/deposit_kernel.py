@@ -30,9 +30,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["deposit_tiles", "DEPOSIT_TILE"]
+__all__ = ["deposit_tiles", "split_bf16x3", "DEPOSIT_TILE"]
 
 DEPOSIT_TILE = 1024  # rays per grid step (one (8,128) trace tile)
+
+
+def split_bf16x3(x):
+    """Exact bfloat16 triple of a float32 array: hi + mid + lo == x.
+
+    Split by bit-masking (truncation): the top 16 bits of an f32 ARE its
+    truncated bfloat16, so each plane is exact and the residual subtraction
+    cannot be algebraically simplified away (XLA folds the rounding-based
+    split ``x - f32(bf16(x))`` to zero). Shared by every MXU consumer of
+    exact-f32-via-bf16 matmuls (this kernel, binning._deposit_matmul).
+    """
+    def trunc(v):
+        t = jax.lax.bitcast_convert_type(
+            jax.lax.bitcast_convert_type(v, jnp.uint32)
+            & jnp.uint32(0xFFFF0000), jnp.float32)
+        return t, t.astype(jnp.bfloat16)
+
+    hi32, hi = trunc(x)
+    r1 = x - hi32
+    mid32, mid = trunc(r1)
+    lo = (r1 - mid32).astype(jnp.bfloat16)
+    return hi, mid, lo
 
 
 def _deposit_kernel(bins_ref, hi_ref, mid_ref, lo_ref, out_ref, *, C):
@@ -65,16 +87,7 @@ def deposit_tiles(contrib, bins, C: int):
     assert B % DEPOSIT_TILE == 0
     T = B // DEPOSIT_TILE
 
-    def trunc_bf16(x):
-        t = jax.lax.bitcast_convert_type(
-            jax.lax.bitcast_convert_type(x, jnp.uint32) & jnp.uint32(0xFFFF0000),
-            jnp.float32)
-        return t, t.astype(jnp.bfloat16)
-
-    hi32, hi = trunc_bf16(contrib)
-    r1 = contrib - hi32
-    mid32, mid = trunc_bf16(r1)
-    lo = (r1 - mid32).astype(jnp.bfloat16)
+    hi, mid, lo = split_bf16x3(contrib)
     bins2 = bins.reshape(T, DEPOSIT_TILE)
 
     def imap_rows(t):

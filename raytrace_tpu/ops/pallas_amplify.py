@@ -111,12 +111,9 @@ def _split_prod(a, b):
     return p, err
 
 
-def _two_sum(a, b):
-    """Error-free f32 addition (Knuth two-sum): a + b = s + err exactly."""
-    s = a + b
-    bb = s - a
-    err = (a - (s - bb)) + (b - bb)
-    return s, err
+# Knuth two-sum shared with the XLA spectrum path (identical expression;
+# Mosaic lowers the same jnp ops)
+from raytrace_tpu.ops.spectrum import _two_sum  # noqa: E402
 
 
 def _loggain_kernel(win_ref, idx_ref, gvl_ref, tab_hbm,

@@ -28,6 +28,8 @@ tests/test_distributed.py + tools/run_distributed.py.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,19 +48,33 @@ def sum_reduce(tree, axis: str = RAY_AXIS):
     return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis), tree)
 
 
-def _rank_collective(local, inner, out_rows):
-    """Run ``inner`` (an all_gather/psum body) over the one-device-per-process
-    rank mesh, with ``local`` as this rank's shard of the [P, n] input."""
+@functools.lru_cache(maxsize=None)
+def _jit_rank_op(mesh: Mesh, op: str):
+    """Jitted rank collective, cached per (mesh, op): a fresh closure per
+    call would miss jax's jit cache every time and pay a full retrace +
+    compile per collective invocation."""
+    if op == "gather":
+        def inner(x):  # x: [1, n] local shard
+            g = jax.lax.all_gather(x, "rank")  # [P, 1, n]
+            return g.reshape(g.shape[0], -1)
+    else:
+        def inner(x):
+            return jax.lax.psum(x, "rank")
+    return jax.jit(shard_map(inner, mesh=mesh,
+                             in_specs=PartitionSpec("rank"),
+                             out_specs=PartitionSpec(), check_vma=False))
+
+
+def _rank_collective(local, op, out_rows):
+    """Run a cached collective over the one-device-per-process rank mesh,
+    with ``local`` as this rank's shard of the [P, n] input."""
     mesh = distributed.process_mesh()
     P = jax.process_count()
     local = np.asarray(local, np.float64).reshape(1, -1)
     n = local.shape[1]
     sharding = NamedSharding(mesh, PartitionSpec("rank"))
     garr = jax.make_array_from_process_local_data(sharding, local, (P, n))
-    fn = jax.jit(shard_map(inner, mesh=mesh,
-                           in_specs=PartitionSpec("rank"),
-                           out_specs=PartitionSpec(), check_vma=False))
-    out = fn(garr)
+    out = _jit_rank_op(mesh, op)(garr)
     return np.asarray(jax.device_get(out.addressable_data(0))).reshape(out_rows, n)
 
 
@@ -75,11 +91,7 @@ def gather_all(values, mesh=None):
     if jax.process_count() <= 1:
         return arr.reshape(1, -1)
 
-    def inner(x):  # x: [1, n] local shard
-        g = jax.lax.all_gather(x, "rank")  # [P, 1, n]
-        return g.reshape(g.shape[0], -1)
-
-    return _rank_collective(arr, inner, jax.process_count())
+    return _rank_collective(arr, "gather", jax.process_count())
 
 
 def sum_scalar(value, mesh=None):
@@ -87,8 +99,7 @@ def sum_scalar(value, mesh=None):
     identity when single-process."""
     if jax.process_count() <= 1:
         return value
-    out = _rank_collective(np.array([float(value)]),
-                           lambda x: jax.lax.psum(x, "rank"), 1)
+    out = _rank_collective(np.array([float(value)]), "psum", 1)
     res = float(out[0, 0])
     return type(value)(res) if isinstance(value, (int, float)) else res
 
@@ -110,7 +121,7 @@ def host_sum_arrays(arrays, mesh=None):
     sizes = [a.size for a in arrays]
     flat = np.concatenate([a.reshape(-1) for a in arrays]) if arrays else \
         np.zeros((0,), np.float64)
-    out = _rank_collective(flat, lambda x: jax.lax.psum(x, "rank"), 1)[0]
+    out = _rank_collective(flat, "psum", 1)[0]
     res = []
     off = 0
     for a, s in zip(arrays, sizes):
@@ -129,12 +140,16 @@ def mesh_all_gather(per_device, mesh: Mesh, axis: str = RAY_AXIS):
         return per_device
     if per_device.shape[0] != mesh.size:
         raise ValueError("leading dim must equal mesh.size")
+    return np.asarray(jax.device_get(
+        _jit_mesh_gather(mesh, axis)(jnp.asarray(per_device))))
 
+
+@functools.lru_cache(maxsize=None)
+def _jit_mesh_gather(mesh: Mesh, axis: str):
     def inner(x):
         g = jax.lax.all_gather(x, axis)
         return g.reshape(g.shape[0] * x.shape[0], *x.shape[1:])
 
-    fn = jax.jit(shard_map(inner, mesh=mesh,
-                           in_specs=PartitionSpec(axis),
-                           out_specs=PartitionSpec(), check_vma=False))
-    return np.asarray(jax.device_get(fn(jnp.asarray(per_device))))
+    return jax.jit(shard_map(inner, mesh=mesh,
+                             in_specs=PartitionSpec(axis),
+                             out_specs=PartitionSpec(), check_vma=False))

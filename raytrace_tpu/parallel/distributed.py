@@ -49,8 +49,13 @@ def startup(coordinator_address: str | None = None,
         try:
             jax.distributed.initialize()
             _INITIALIZED = True
-        except Exception:
-            # no cluster environment: single-process mode (the no-MPI shim)
+        except ValueError:
+            # "coordinator_address should be defined": no cluster
+            # environment was detected -> single-process mode (the no-MPI
+            # shim). Any OTHER failure (unreachable coordinator, half-set
+            # launcher env) propagates: silently degrading a pod launch to
+            # independent single-process runs would produce wrong aggregate
+            # results where the reference's MPI_Init aborts loudly.
             _INITIALIZED = False
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,
@@ -81,17 +86,24 @@ def size() -> int:
     return jax.process_count()
 
 
+_PROCESS_MESH = None
+
+
 def process_mesh():
     """A 1-D mesh with ONE device per process -- the rank axis for host-side
-    collectives (gatherAll / sumReduce). None when single-process."""
+    collectives (gatherAll / sumReduce). None when single-process. Cached:
+    the device set is fixed for the life of the process group."""
+    global _PROCESS_MESH
     if jax.process_count() <= 1:
         return None
-    from jax.sharding import Mesh
+    if _PROCESS_MESH is None:
+        from jax.sharding import Mesh
 
-    devs = []
-    for p in range(jax.process_count()):
-        devs.append(next(d for d in jax.devices() if d.process_index == p))
-    return Mesh(np.array(devs), ("rank",))
+        devs = []
+        for p in range(jax.process_count()):
+            devs.append(next(d for d in jax.devices() if d.process_index == p))
+        _PROCESS_MESH = Mesh(np.array(devs), ("rank",))
+    return _PROCESS_MESH
 
 
 def barrier(name: str = "raytrace_barrier") -> None:
