@@ -95,3 +95,13 @@ def test_cli_nprocs_process_group():
     assert r.returncode == 0 or stability_only, r.stdout + r.stderr
     if r.returncode == 0:
         assert "All tests passed" in r.stdout
+
+
+def test_cli_multichip_flag(golden_file, capsys):
+    """-multichip runs the mesh-sharded path over the full virtual CPU mesh
+    and its result must pass the same golden gate as the serial methods."""
+    rc = cli.main(["-methods=lax", "-iterations=1", "-multichip",
+                   golden_file])
+    out = capsys.readouterr().out
+    assert "multichip[8]" in out, out
+    assert "Answers do not match" not in out
