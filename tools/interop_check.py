@@ -13,8 +13,8 @@ re-computes and applies its own 5e-6 norm gate against OUR goldens.
 Usage:
     python tools/interop_check.py /path/to/reference/CreateImage [workdir]
 
-Last verified result (TPU v5e, 2026-08-16): "All tests passed" for both the
-ASE and the seeded synthetic problems.
+Last verified result (2026-08-17): PASS for all four synthetics -- ASE,
+seeded, and the full-plane (abs_y mirror off) variants of both.
 
 Building the reference binary (CPU-only) from the read-only checkout:
 
@@ -51,7 +51,16 @@ def main():
     files = []
     for name, kwargs in (("interop_ase.dat", dict(nx=16, ny=8, na=8, nb=6, nv=10)),
                          ("interop_seed.dat", dict(nx=10, ny=6, na=6, nb=5,
-                                                   nv=8, seeded=True))):
+                                                   nv=8, seeded=True)),
+                         # full-plane grids: the reference's abs_y mirror is
+                         # OFF (y[0] < 0), exercising its non-mirrored paths
+                         # against ours
+                         ("interop_ase_fullplane.dat",
+                          dict(nx=12, ny=8, na=6, nb=5, nv=8,
+                               full_plane=True)),
+                         ("interop_seed_fullplane.dat",
+                          dict(nx=10, ny=6, na=6, nb=5, nv=8, seeded=True,
+                               full_plane=True))):
         p = synthetic_problem(**kwargs)
         img, ang = create_image(p, "lax")
         p.image = img
