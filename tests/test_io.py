@@ -145,3 +145,19 @@ def test_scale_problem():
     scale_problem(p, 2.0)
     assert p.euv_beam.nx == int(nx0 * 2 ** 0.25)
     assert p.euv_beam.x[0] - 0.5 * p.euv_beam.dx == pytest.approx(lo)
+
+
+def test_truncated_snapshot_raises_cleanly(tmp_path):
+    """Short reads must raise (the fread2 contract: the reference prints and
+    hard-exits on a short read, CreateImageHelpers.cpp:35-42; we raise) --
+    never segfault or return garbage, through both the native parser and
+    the pure-Python fallback."""
+    import numpy as np
+
+    data = open("/root/reference/ASE_small.dat", "rb").read()
+    rng = np.random.default_rng(0)
+    for cut in sorted(int(c) for c in rng.integers(1, len(data), 12)):
+        p = tmp_path / f"cut_{cut}.dat"
+        p.write_bytes(data[:cut])
+        with pytest.raises((OSError, ValueError, EOFError)):
+            load_input(str(p))
