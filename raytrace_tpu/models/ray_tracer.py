@@ -39,7 +39,8 @@ from raytrace_tpu.structures import CreateImageProblem
 from raytrace_tpu.utils import errors as err_util
 from raytrace_tpu.utils.timer import profiler
 
-__all__ = ["create_image", "generate_ray_indices", "BACKENDS", "N_MAX", "K_MAX"]
+__all__ = ["create_image", "generate_ray_indices", "available_methods",
+           "BACKENDS", "N_MAX", "K_MAX"]
 
 N_MAX = 20   # max length segments (RayTraceImageHelper.h:29)
 K_MAX = 100  # max frequencies (RayTraceImageHelper.h:30)
@@ -406,6 +407,45 @@ _METHOD_ALIASES = {
 }
 
 
+def resolve_bin_deposit(deposit: str, backend: str, method: int,
+                        spectrum_dtype) -> str:
+    """Deposit-strategy policy, shared verbatim by the single-device and
+    mesh-sharded pipelines (the reference's multi-GPU path drives the same
+    fastest kernel per device, src/RayTraceImage.cpp:396-405).
+
+    ``auto``: the MXU (one-hot matmul) deposit wins on the seeded workload
+    (119 big chunks, nv=82) measured on TPU; ASE's 13 small chunks favor the
+    scatter. The matmul deposit is f32-internal, so f64 spectrum mode keeps
+    the scatter path to preserve the full-precision deposit contract.
+    """
+    if deposit == "auto":
+        return ("matmul" if backend == "pallas" and method == 2
+                and jax.default_backend() == "tpu"
+                and jnp.dtype(spectrum_dtype) == jnp.float32
+                else "scatter")
+    if deposit in ("matmul", "scatter", "dense"):
+        return deposit if deposit != "dense" else "scatter"
+    raise err_util.RayTraceError(
+        f"Unknown deposit strategy '{deposit}' "
+        "(expected auto/dense/matmul/scatter)")
+
+
+def available_methods() -> list[str]:
+    """Every backend available on this host, slowest first.
+
+    The reference benchmarks all compiled-in methods when ``-methods=`` is
+    absent ("Default is all availible methods",
+    src/CreateImageHelpers.h:61); availability here means the backend can
+    run at full speed -- the pallas kernel counts only on TPU (off-TPU it
+    would execute through the interpreter, the analogue of a CUDA method
+    with no GPU present).
+    """
+    methods = ["lax-exact", "lax"]
+    if jax.default_backend() == "tpu":
+        methods.append("pallas")
+    return methods
+
+
 def _resolve_backend(name: str, uniform: bool) -> str:
     name = name.lower()
     name = _METHOD_ALIASES.get(name, name)
@@ -524,21 +564,8 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     # TPU), "scatter" (segment_sum; portable default elsewhere).
     dense = (method == 1 and problem.N_start == 0 and problem.N_parallel == 1
              and B_total == Nt and deposit == "dense")
-    if deposit == "auto":
-        # measured: the MXU deposit wins on the seeded workload (119 big
-        # chunks, nv=82); ASE's 13 small chunks favor the scatter. The
-        # matmul deposit is f32-internal, so f64 spectrum mode keeps the
-        # scatter path to preserve the full-precision deposit contract.
-        bin_deposit = ("matmul" if backend == "pallas" and method == 2
-                       and jax.default_backend() == "tpu"
-                       and jnp.dtype(spectrum_dtype) == jnp.float32
-                       else "scatter")
-    elif deposit in ("matmul", "scatter", "dense"):
-        bin_deposit = deposit if deposit != "dense" else "scatter"
-    else:
-        raise err_util.RayTraceError(
-            f"Unknown deposit strategy '{deposit}' "
-            "(expected auto/dense/matmul/scatter)")
+    bin_deposit = resolve_bin_deposit(deposit, backend, method,
+                                      spectrum_dtype)
     blk = dims[2] * dims[3]
     if chunk_size is None:
         # smaller chunks bound the batched while-loop divergence (better

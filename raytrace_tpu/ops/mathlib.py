@@ -18,7 +18,8 @@ import numpy as np
 __all__ = [
     "interp_linear", "bilinear", "trilinear", "n_linear",
     "find_first_loop", "find_first_hash",
-    "quicksort", "unique", "calc_width", "bisection", "bisection_coeff",
+    "quicksort", "unique", "unique_index", "calc_width",
+    "bisection", "bisection_coeff",
     "fast_pow", "fast_exp_avg", "get_interp_ratio",
     "integrate_midpoint", "integrate_simpson", "integrate_adaptive",
     "integrate_adaptive_2d", "integrate_adaptive_3d",
@@ -158,6 +159,20 @@ def unique(x):
     return np.unique(np.asarray(x))
 
 
+def unique_index(x):
+    """Sort + deduplicate with index maps (the (Y, I, J) overload of
+    interp::unique, interp.hpp:411-436).
+
+    Returns ``(Y, I, J)`` where ``Y`` is the sorted unique values,
+    ``I[j]`` is an original index such that ``X[I[j]] == Y[j]`` (the
+    forward map), and ``J[i]`` is the position of ``X[i]`` in ``Y`` (the
+    backward map, ``Y[J[i]] == X[i]``).
+    """
+    x = np.asarray(x)
+    y, idx, inv = np.unique(x, return_index=True, return_inverse=True)
+    return y, idx.astype(np.intp), inv.reshape(x.shape).astype(np.intp)
+
+
 # ---------------------------------------------------------------------------
 # FWHM via 76% energy width (interp::calc_width, interp.cpp:157-201)
 # ---------------------------------------------------------------------------
@@ -267,7 +282,12 @@ def bisection(fn, lb, ub, tol1=1e-12, tol2=1e-12, max_iter=500):
     """Find x in [lb, ub] with fn(x) = 0, assuming a sign change over the
     bracket (interp::bisection, interp.hpp:440-470): every evaluation is
     kept and each step's guess comes from :func:`bisection_coeff` over the
-    full history; stops when |f| <= tol1 or the bracket width <= tol2."""
+    full history; stops when |f| <= tol1 or the bracket width <= tol2.
+
+    .. note:: tolerance semantics follow the reference (tol1 bounds |f|,
+       tol2 bounds the bracket width). Earlier revisions of this module had
+       the two swapped; positional callers written against those get
+       different convergence behavior."""
     xs = [float(lb), float(ub)]
     fs = [float(fn(lb)), float(fn(ub))]
     if abs(fs[0]) < tol1 or abs(fs[1]) < tol1:

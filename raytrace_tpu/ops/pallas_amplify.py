@@ -96,7 +96,11 @@ def pack_gv(gv: jax.Array) -> PackedGv:
 
 
 def _vsplit(a):
-    """Arithmetic (Veltkamp) 12|12-bit split: a = ah + al exactly."""
+    """Arithmetic (Veltkamp) 12|12-bit split: a = ah + al exactly.
+
+    The 4097 multiply overflows to inf for |a| >= ~8.3e34, so the split is
+    exact only below that bound -- comfortably beyond any physical gvl/gain
+    magnitude here, but not a universal equivalent of a masked bit-split."""
     c = a * f32(4097.0)
     ah = c - (c - a)
     return ah, a - ah

@@ -87,6 +87,13 @@ def pack_gain_tables(gains: list[RayGain], use_emis: bool) -> PackedGain:
     n-gradient rule (RayTraceStructures.h:215-217).
     """
     N = len(gains)
+    for g in gains:
+        # cell ids (i1 = k1m1 + k2m1*nx) ride f32 inside the kernel, exact
+        # only below 2^24 -- reject pathological grids instead of silently
+        # corrupting ivl
+        if g.Nx * g.Ny >= 2 ** 24:
+            raise ValueError(
+                "pallas backend requires Nx*Ny < 2^24 (f32-exact cell ids)")
     ny_pad = max(8, max(g.Ny for g in gains))
     nch = 16 if use_emis else 12
     tabs = np.zeros((N, nch, ny_pad, TILE_LANES), dtype=np.float32)
@@ -254,6 +261,10 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
     # dz0*(iz+1.0f)/N_SUB (RayTraceImageHelper.h:462)
     zs_c = [f32(np.float32(np.float32(dz0) * np.float32(s + 1.0)
                            / np.float32(N_SUB))) for s in range(N_SUB)]
+
+    # the where-chain below enumerates exactly N_SUB thresholds; fail loudly
+    # rather than compute wrong stop distances if N_SUB ever changes
+    assert N_SUB == 3, "zs_of/flush are specialized to N_SUB == 3"
 
     def zs_of(iz):
         return jnp.where(iz <= f32(0.5), zs_c[0],

@@ -106,6 +106,7 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
                          compute_method: str = "auto",
                          chunk_size: int | None = None,
                          spectrum_dtype=jnp.float32, c: float = 0.5,
+                         deposit: str = "auto",
                          failed_ray_path: str = "Failed_RayTrace_rays.dat",
                          ) -> tuple[np.ndarray, np.ndarray]:
     """Multi-chip create_image over a ray-sharded mesh.
@@ -169,6 +170,11 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
     pack, pack_layout, beam_scalars = ray_tracer.make_bundle_pack(
         beam, src, entry_seed_host)
 
+    # identical deposit policy to the single-device path (ray_tracer), so
+    # multi-chip inherits the measured-fastest strategies per workload
+    bin_deposit = ray_tracer.resolve_bin_deposit(deposit, backend, method,
+                                                 spectrum_dtype)
+
     Nt = dims[0] * dims[1] * dims[2] * dims[3]
     skip = problem.N_parallel
     B_total = len(range(problem.N_start, Nt, skip)) if problem.N_start < Nt else 0
@@ -198,12 +204,14 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
     cfg_key = ("sharded", id(mesh), backend, problem.N, float(beam.dz), K,
                method, use_emis, dims, float(scale),
                str(jnp.dtype(spectrum_dtype)), float(c), chunk, n_chunks,
+               bin_deposit,
                problem.N_start, problem.N_parallel, fast_meta, pallas_meta,
                pack_layout, beam_scalars, seed_f0, fused_amplify)
     if cfg_key not in _SHARDED_CACHE:
         cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                    use_emis=use_emis, dims=dims, scale=float(scale),
                    spectrum_dtype=spectrum_dtype, c=float(c), dense=False,
+                   bin_deposit=bin_deposit,
                    chunk=chunk, n_chunks=n_chunks, na_nb=na * nb,
                    img_cells=nx * ny, N_start=problem.N_start,
                    N_parallel=problem.N_parallel, fast_meta=fast_meta,

@@ -3,7 +3,9 @@
 Usage (mirrors the reference flags, Readme.txt:42-59 / CreateImageHelpers.h:50-96):
 
     python -m raytrace_tpu.utils.cli [options] file1.dat [file2.dat ...]
-      -methods=lax,lax-exact     backends to benchmark (default: lax)
+      -methods=lax,lax-exact     backends to benchmark (default: all
+                                 available methods -- lax-exact, lax, and
+                                 pallas when running on TPU)
       -iterations=N              timed calls per method (default 5)
       -scale=S                   problem-size scale factor (default 1.0)
       -multichip                 also run the mesh-sharded path
@@ -88,7 +90,11 @@ def run_tests(filename: str, options: Options) -> int:
     import jax.numpy as jnp
 
     pout.write(f"\nRunning tests for {filename}\n\n")
-    methods = options.methods or ["lax"]
+    # "Default is all availible methods" (CreateImageHelpers.h:61): with no
+    # -methods= flag, benchmark every backend this host can run at speed --
+    # on TPU that includes the flagship pallas kernel.
+    from raytrace_tpu.models.ray_tracer import available_methods
+    methods = options.methods or available_methods()
     sdtype = jnp.float64 if options.spectrum == "f64" else jnp.float32
     n_errors = 0
 
@@ -146,13 +152,15 @@ def _launch_process_group(argv, nprocs: int) -> int:
 
     Each worker re-runs this CLI with the same flags plus the process-group
     environment; rank gating in pio keeps output to rank 0. Exit code is the
-    max of the workers' (each already carries the cross-rank error sum)."""
-    s = socket.socket()
-    s.bind(("localhost", 0))
-    port = s.getsockname()[1]
-    s.close()
-    procs = []
-    for pid in range(nprocs):
+    max of the workers' (each already carries the cross-rank error sum).
+
+    Port selection is race-free: rank 0 (the coordinator) is spawned alone
+    and the launcher waits until its port actually accepts connections
+    before committing the other ranks; if another process grabbed the port
+    between probe and bind (the TOCTOU window), rank 0 dies and the launch
+    retries on a fresh port instead of hanging the group."""
+
+    def _spawn(pid: int, port: int):
         env = dict(os.environ)
         env.update(RAYTRACE_COORD=f"localhost:{port}",
                    RAYTRACE_NPROCS=str(nprocs), RAYTRACE_PROC_ID=str(pid),
@@ -160,10 +168,38 @@ def _launch_process_group(argv, nprocs: int) -> int:
                    # replicated-benchmark group runs on CPU like the
                    # reference's workstation mpirun runs
                    RAYTRACE_FORCE_CPU="1")
-        procs.append(subprocess.Popen(
-            [sys.executable, "-m", "raytrace_tpu.utils.cli", *argv],
-            env=env))
-    return max(p.wait() for p in procs)
+        return subprocess.Popen(
+            [sys.executable, "-m", "raytrace_tpu.utils.cli", *argv], env=env)
+
+    for _attempt in range(3):
+        s = socket.socket()
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+        s.close()
+        p0 = _spawn(0, port)
+        deadline = time.perf_counter() + 120.0
+        coordinator_up = False
+        while time.perf_counter() < deadline:
+            if p0.poll() is not None:
+                break  # rank 0 died early: it lost the port race -> retry
+            try:
+                socket.create_connection(("localhost", port),
+                                         timeout=0.2).close()
+                coordinator_up = True
+                break
+            except OSError:
+                time.sleep(0.05)
+        if not coordinator_up:
+            if p0.poll() is None:
+                p0.kill()
+                p0.wait()
+                raise RuntimeError(
+                    "process-group coordinator never came up")
+            continue
+        procs = [p0] + [_spawn(pid, port) for pid in range(1, nprocs)]
+        return max(p.wait() for p in procs)
+    raise RuntimeError(
+        "could not start the process-group coordinator (port races)")
 
 
 def _maybe_join_process_group() -> None:

@@ -48,6 +48,20 @@ def test_quicksort_dual_and_unique():
     assert np.array_equal(ml.unique(x), [1.0, 2.0, 3.0])
 
 
+def test_unique_index_maps():
+    """The (Y, I, J) overload contract (interp.hpp:411-436): X[I[j]] == Y[j]
+    and Y[J[i]] == X[i]."""
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 10, size=37).astype(np.float64)
+    y, i_map, j_map = ml.unique_index(x)
+    assert np.array_equal(y, np.unique(x))
+    assert np.array_equal(x[i_map], y)
+    assert np.array_equal(y[j_map], x)
+    # degenerate cases
+    y1, i1, j1 = ml.unique_index(np.array([5.0]))
+    assert np.array_equal(y1, [5.0]) and i1[0] == 0 and j1[0] == 0
+
+
 def test_calc_width_gaussian():
     """FWHM of a Gaussian should come back as ~2.355 sigma."""
     sigma = 0.7

@@ -1,5 +1,12 @@
 """Multi-chip sharding correctness on the virtual 8-device CPU mesh
-(SURVEY.md section 4 test plan (d))."""
+(SURVEY.md section 4 test plan (d)).
+
+Two tiers, like test_golden.py: synthetic-problem checks always run; the
+shipped production snapshots (399k/780k rays through the sharded pipeline,
+~1 min each on the timeshared CPU mesh) are gated behind
+``RAYTRACE_GOLDEN_TESTS=1``."""
+
+import os
 
 import numpy as np
 import pytest
@@ -7,12 +14,17 @@ import pytest
 import raytrace_tpu  # noqa: F401
 import jax
 
-from raytrace_tpu import create_image
+from raytrace_tpu import create_image, load_input
 from raytrace_tpu.parallel import collectives
 from raytrace_tpu.parallel.mesh import make_mesh
 from raytrace_tpu.parallel.sharding import create_image_sharded
 from raytrace_tpu.structures import IntensityStep
 from raytrace_tpu.testing import synthetic_problem
+from raytrace_tpu.utils.stats import check_ans
+
+ASE = "/root/reference/ASE_small.dat"
+SEED = "/root/reference/seed_small.dat"
+run_golden = os.environ.get("RAYTRACE_GOLDEN_TESTS") == "1"
 
 needs_mesh = pytest.mark.skipif(len(jax.devices()) < 8,
                                 reason="needs 8 virtual devices")
@@ -49,6 +61,60 @@ def test_sharded_pallas_matches_single(seeded):
 
 
 @needs_mesh
+def test_sharded_deposit_parity():
+    """The deposit-strategy knob reaches the sharded pipeline with the same
+    semantics as single-chip (the reference's multi-GPU path drives the
+    same fastest kernel per device, src/RayTraceImage.cpp:396-405): the MXU
+    matmul deposit and the scatter deposit must agree on the mesh."""
+    mesh = make_mesh(8)
+    ps = synthetic_problem(seeded=True)
+    img_s, ang_s = create_image_sharded(ps, mesh, "lax", deposit="scatter")
+    pm = synthetic_problem(seeded=True)
+    img_m, ang_m = create_image_sharded(pm, mesh, "lax", deposit="matmul")
+    assert np.linalg.norm(img_s - img_m) / np.linalg.norm(img_s) < 2e-6
+    assert np.linalg.norm(ang_s - ang_m) / np.linalg.norm(ang_s) < 2e-6
+
+
+@needs_mesh
+def test_sharded_auto_deposit_matches_single_chip_policy():
+    """create_image_sharded resolves 'auto' through the exact same policy
+    function as create_image -- config parity by construction."""
+    import jax.numpy as jnp
+    from raytrace_tpu.models.ray_tracer import resolve_bin_deposit
+    for backend in ("lax", "pallas"):
+        for method in (1, 2):
+            for sd in (jnp.float32, jnp.float64):
+                assert resolve_bin_deposit("auto", backend, method, sd) in (
+                    "matmul", "scatter")
+    # explicit strategies pass through; 'dense' maps to scatter (the dense
+    # row layout requires natural-order full coverage, not stride shards)
+    assert resolve_bin_deposit("matmul", "lax", 1, jnp.float32) == "matmul"
+    assert resolve_bin_deposit("dense", "lax", 1, jnp.float32) == "scatter"
+
+
+@needs_mesh
+def test_sharded_nontrivial_stride_partition():
+    """Rank-stride x device-stride nesting: the P-way N_start/N_parallel
+    partition of the rays, each part computed through the sharded pipeline
+    (device stride nested inside the rank stride), must sum to the full
+    image (src/RayTraceImage.cpp:300-328 contract)."""
+    mesh = make_mesh(8)
+    p_full = synthetic_problem(seeded=True)
+    img_full, ang_full = create_image_sharded(p_full, mesh, "lax")
+    P = 3
+    img_sum = np.zeros_like(img_full)
+    ang_sum = np.zeros_like(ang_full)
+    for k in range(P):
+        pk = synthetic_problem(seeded=True)
+        pk.N_start, pk.N_parallel = k, P
+        img_k, ang_k = create_image_sharded(pk, mesh, "lax")
+        img_sum += img_k
+        ang_sum += ang_k
+    assert np.linalg.norm(img_full - img_sum) / np.linalg.norm(img_full) < 2e-6
+    assert np.linalg.norm(ang_full - ang_sum) / np.linalg.norm(ang_full) < 2e-6
+
+
+@needs_mesh
 def test_sharded_mesh_sizes():
     """Any mesh size (including 1 = the no-MPI shim analogue) gives the
     same images."""
@@ -77,6 +143,71 @@ def test_intensity_step_sum_reduce_no_mesh():
     assert step.valid()
     step.E_v[0] = -1.0
     assert not step.valid()
+
+
+# ---------------------------------------------------------------------------
+# production-snapshot tier (env-gated: ~1 min per case on the CPU mesh)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not (run_golden and os.path.exists(ASE)),
+                    reason="set RAYTRACE_GOLDEN_TESTS=1")
+def test_ase_small_sharded_golden():
+    """The real shipped ASE snapshot through the full sharded pipeline on
+    the 8-device mesh, judged by the reference's own embedded golden gate
+    (check_ans, src/CreateImageHelpers.cpp:66-100) -- multi-chip
+    correctness at production scale, not toy shapes."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    problem, image0, i_ang0 = load_input(ASE)
+    image, i_ang = create_image_sharded(problem, mesh, "lax")
+    assert check_ans(image0, i_ang0, image, i_ang)
+    rel = np.linalg.norm(image0 - image) / np.linalg.norm(image0)
+    assert rel < 1e-4
+
+
+@pytest.mark.skipif(not (run_golden and os.path.exists(ASE)),
+                    reason="set RAYTRACE_GOLDEN_TESTS=1")
+def test_ase_small_sharded_stride_partition_golden():
+    """Nontrivial rank stride at production scale: the 3-way
+    N_start/N_parallel partition of ASE_small, each part through the
+    sharded pipeline (device stride nested inside rank stride), must sum
+    to an image passing the embedded golden gate."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(8)
+    _, image0, i_ang0 = load_input(ASE)
+    P = 3
+    img_sum = ang_sum = None
+    for k in range(P):
+        pk, _, _ = load_input(ASE)
+        pk.N_start, pk.N_parallel = k, P
+        img_k, ang_k = create_image_sharded(pk, mesh, "lax")
+        img_sum = img_k if img_sum is None else img_sum + img_k
+        ang_sum = ang_k if ang_sum is None else ang_sum + ang_k
+    assert check_ans(image0, i_ang0, img_sum, ang_sum)
+
+
+@pytest.mark.skipif(not (run_golden and os.path.exists(SEED)),
+                    reason="set RAYTRACE_GOLDEN_TESTS=1")
+def test_seed_small_sharded_reduced_scale():
+    """The seeded snapshot at -scale=0.1 (~780k rays; full 7.8M is too slow
+    for the timeshared CPU mesh) through the sharded pipeline. No embedded
+    golden exists at scale != 1 (CreateImage.cpp:156-160), so the gate is
+    cross-config: the single-device image is the golden for the sharded one
+    under the same one-sided 5e-6 norm check."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from raytrace_tpu.io.loader import scale_problem
+
+    mesh = make_mesh(8)
+    p1, _, _ = load_input(SEED)
+    scale_problem(p1, 0.1)
+    img1, ang1 = create_image(p1, "lax")
+    p8, _, _ = load_input(SEED)
+    scale_problem(p8, 0.1)
+    img8, ang8 = create_image_sharded(p8, mesh, "lax")
+    assert check_ans(img1, ang1, img8, ang8)
 
 
 def test_dryrun_multichip_entry():
