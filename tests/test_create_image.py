@@ -273,6 +273,168 @@ def test_many_segments_pallas_matches_lax():
     assert np.linalg.norm(ang_p - ang_l) / np.linalg.norm(ang_l) < _JITTER_TOL
 
 
+def _has_escapes(p, method):
+    """True if some ray's oracle walk stops early: a zero gvl row with a
+    nonzero row elsewhere can only mean escape (the synthetic's g0 is
+    strictly positive everywhere on the grid)."""
+    b = p.euv_beam
+    src = p.seed_beam if method == 2 else b
+    for i in (0, src.nx - 1):
+        for j in (0, src.ny - 1):
+            for k in range(src.na):
+                for m in range(src.nb):
+                    ray = (np.float32(src.x[i]), np.float32(src.y[j]),
+                           np.float32(src.a[k]), np.float32(src.b[m]))
+                    res = oracle.calc_ray(ray, p.N, b.dz, p.gain,
+                                          p.seed if method == 2 else None,
+                                          b.nv, method)
+                    rows = np.abs(res.gvl[: p.N - 1]).sum(axis=1)
+                    if np.any(rows == 0.0) and np.any(rows > 0.0):
+                        return True
+    return False
+
+
+def _physical_gain(p):
+    """Scale the synthetic's g0 to the saturated X-ray-laser regime for
+    N=20 paths (total exponent ~14 instead of ~57): keeps intensities
+    inside float32 range, which the f32 two-float spectrum requires and
+    every real workload satisfies (the reference accumulates in double and
+    would carry e^57 -- unphysical for a saturated column)."""
+    for g in p.gain:
+        g.g0 = (np.asarray(g.g0) * np.float32(0.25)).astype(np.float32)
+    return p
+
+
+@pytest.mark.parametrize("backend", ["lax", "lax-exact", "pallas"])
+def test_n20_ase_with_escapes_vs_oracle(backend):
+    """N = N_MAX = 20 segments (RayTraceImageHelper.h:29) end-to-end against
+    the scalar oracle, with real mid-path escapes (+-10 mrad over 0.95 cm
+    walks off the 7e-3 cm gain grid). refraction_free: escape timing is a
+    discontinuity, so lockstep trajectories keep it implementation-
+    deterministic while still exercising the fori segment loop, the escape
+    logic, and the 19-segment amplification chain."""
+    p = _physical_gain(synthetic_problem(nx=5, ny=3, na=4, nb=3, nv=5,
+                                         N=20, refraction_free=True))
+    assert _has_escapes(p, 1), "geometry no longer produces escapes"
+    want_img, want_ang = _oracle_images(p, 1)
+    p2 = _physical_gain(synthetic_problem(nx=5, ny=3, na=4, nb=3, nv=5,
+                                          N=20, refraction_free=True))
+    img, ang = create_image(p2, backend, chunk_size=4096)
+    assert np.linalg.norm(img - want_img) / np.linalg.norm(want_img) < _JITTER_TOL
+    assert np.linalg.norm(ang - want_ang) / max(np.linalg.norm(want_ang), 1e-300) < _JITTER_TOL
+
+
+@pytest.mark.parametrize("backend", ["lax", "pallas"])
+def test_n20_full_plane_ase_vs_oracle(backend):
+    """N=20 with the abs_y mirror OFF (full-plane grids): the un-mirrored
+    escape ranges and index walk at maximum segment count."""
+    p = _physical_gain(synthetic_problem(nx=5, ny=4, na=4, nb=3, nv=5,
+                                         N=20, refraction_free=True,
+                                         full_plane=True))
+    want_img, want_ang = _oracle_images(p, 1)
+    p2 = _physical_gain(synthetic_problem(nx=5, ny=4, na=4, nb=3, nv=5,
+                                          N=20, refraction_free=True,
+                                          full_plane=True))
+    img, ang = create_image(p2, backend, chunk_size=4096)
+    assert np.linalg.norm(img - want_img) / np.linalg.norm(want_img) < _JITTER_TOL
+
+
+@pytest.mark.parametrize("backend", ["lax", "pallas"])
+def test_n20_seeded_vs_oracle(backend):
+    """Seeded (forward, method 2) at N=20 against the oracle: entry-seed
+    evaluation + 19-segment gain-only amplification + exit binning, with
+    escapes zeroing the seed exactly like the oracle."""
+    p = _physical_gain(synthetic_problem(nx=5, ny=3, na=4, nb=3, nv=5,
+                                         N=20, seeded=True,
+                                         refraction_free=True))
+    assert _has_escapes(p, 2), "geometry no longer produces escapes"
+    want_img, want_ang = _oracle_images(p, 2)
+    p2 = _physical_gain(synthetic_problem(nx=5, ny=3, na=4, nb=3, nv=5,
+                                          N=20, seeded=True,
+                                          refraction_free=True))
+    img, ang = create_image(p2, backend, chunk_size=4096)
+    assert np.linalg.norm(img - want_img) / max(np.linalg.norm(want_img), 1e-300) < _JITTER_TOL
+    assert np.linalg.norm(ang - want_ang) / max(np.linalg.norm(want_ang), 1e-300) < _JITTER_TOL
+
+
+def test_backward_seeded_chunk_core_matches_oracle():
+    """The backward-with-seed branch of chunk_core (method 1 + RaySeed
+    evaluated at the EXIT coordinates, the kernel capability of
+    RayTraceImageHelper.h:523-533 exposed by the calc_ray surface). Not
+    reachable from create_image (seeded problems always run forward,
+    matching the reference), so drive chunk_core directly with a method-1
+    cfg and compare against the scalar oracle.
+
+    refraction_free: exit coordinates feed the (sharp) seed profile, so
+    trajectory chaos would amplify 1-ulp stepper differences well past the
+    usual jitter tolerance; the lockstep regime keeps the micro-step
+    sequences identical (see testing.synthetic_problem)."""
+    import jax.numpy as jnp
+    from raytrace_tpu.models import ray_tracer
+    from raytrace_tpu.models.problem import prepare_beam, prepare_seed
+    from raytrace_tpu.ops import fast_stepper
+
+    p = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5, seeded=True,
+                          refraction_free=True)
+    b = p.euv_beam
+
+    # oracle: backward propagation, seed at exit coords, binned at entry
+    def get_index(grid, d, y):
+        if y < grid[0] - 0.5 * d or y > grid[-1] + 0.5 * d:
+            return -1
+        return oracle.find_first_single(grid, y - 0.5 * d)
+
+    want = np.zeros(b.nx * b.ny * b.nv)
+    want_ang = np.zeros(b.na * b.nb)
+    for i in range(b.nx):
+        for j in range(b.ny):
+            for k in range(b.na):
+                for m in range(b.nb):
+                    ray = (np.float32(b.x[i]), np.float32(b.y[j]),
+                           np.float32(b.a[k]), np.float32(b.b[m]))
+                    res = oracle.calc_ray(ray, p.N, b.dz, p.gain, p.seed,
+                                          b.nv, 1)
+                    assert res.error == 0
+                    i1 = get_index(b.x, b.dx, ray[0])
+                    i2 = get_index(b.y, b.dy, ray[1])
+                    i3 = get_index(b.a, b.da, ray[2])
+                    i4 = get_index(b.b, b.db, ray[3])
+                    if i1 >= 0 and i2 >= 0:
+                        base = b.nv * (i1 + i2 * b.nx)
+                        want[base:base + b.nv] += res.Iv
+                    if i3 >= 0 and i4 >= 0:
+                        want_ang[i3 + i4 * b.na] += float(
+                            np.sum(2.0 * b.dv * res.Iv))
+
+    # chunk_core with a direct method-1 cfg and the device-seed pytree
+    ft = fast_stepper.pack_fast_tables(p.gain, False)
+    gv_tables = ray_tracer._stack_gv(p.gain, b.nv)
+    dims = (b.nx, b.ny, b.na, b.nb)
+    cfg = dict(N=p.N, dz=float(b.dz), K=b.nv, method=1, use_emis=False,
+               dims=dims, scale=1.0, dense=False,
+               spectrum_dtype=jnp.float32)
+
+    def trace_fn(rays, tx):
+        ftl = fast_stepper.FastTables(tx=tx, meta=ft.meta, nch=ft.nch,
+                                      ny_cells=ft.ny_cells)
+        return fast_stepper.trace_batch_fast(rays, p.N, float(b.dz), ftl, 1,
+                                             c=0.5, use_emis=False)
+
+    Nt = b.nx * b.ny * b.na * b.nb
+    ijkm = jnp.arange(Nt, dtype=jnp.int64)
+    valid = jnp.ones((Nt,), bool)
+    ray_grids = tuple(jnp.asarray(np.asarray(g, np.float64))
+                      for g in (b.x, b.y, b.a, b.b))
+    img_p, ang_p, code = ray_tracer.chunk_core(
+        cfg, trace_fn, ijkm, valid, ray_grids, ft.tx, gv_tables,
+        prepare_seed(p.seed), prepare_beam(b))
+    assert np.all(np.asarray(code) == 0)
+    got = np.asarray(img_p, np.float64).reshape(-1)
+    got_ang = np.asarray(ang_p, np.float64)
+    assert np.linalg.norm(got - want) / max(np.linalg.norm(want), 1e-300) < _JITTER_TOL
+    assert np.linalg.norm(got_ang - want_ang) / max(np.linalg.norm(want_ang), 1e-300) < _JITTER_TOL
+
+
 def test_full_plane_ase_all_backends():
     """absy = False (grids span negative y): the un-mirrored index walk,
     gradient handling, escape range, and binning paths. The shipped inputs

@@ -13,8 +13,9 @@ re-computes and applies its own 5e-6 norm gate against OUR goldens.
 Usage:
     python tools/interop_check.py /path/to/reference/CreateImage [workdir]
 
-Last verified result (2026-08-17): PASS for all four synthetics -- ASE,
-seeded, and the full-plane (abs_y mirror off) variants of both.
+Last verified result (2026-08-17, round 3): PASS for all six synthetics --
+ASE, seeded, the full-plane (abs_y mirror off) variants of both, and the
+many-segment (N=12) ASE + seeded cases.
 
 Building the reference binary (CPU-only) from the read-only checkout:
 
@@ -60,8 +61,27 @@ def main():
                                full_plane=True)),
                          ("interop_seed_fullplane.dat",
                           dict(nx=10, ny=6, na=6, nb=5, nv=8, seeded=True,
-                               full_plane=True))):
+                               full_plane=True)),
+                         # many-segment cases (N > 3, up to N_MAX=20 in the
+                         # reference): the fori segment loop + escapes at
+                         # long path lengths, judged by the reference's own
+                         # recompute-and-gate. refraction_free keeps escape
+                         # timing deterministic across implementations
+                         # (see tests/test_create_image.py N=20 notes)
+                         ("interop_ase_n12.dat",
+                          dict(nx=8, ny=5, na=5, nb=4, nv=8, N=12,
+                               refraction_free=True)),
+                         ("interop_seed_n12.dat",
+                          dict(nx=8, ny=5, na=5, nb=4, nv=8, N=12,
+                               seeded=True, refraction_free=True))):
         p = synthetic_problem(**kwargs)
+        if kwargs.get("N", 3) > 3:
+            # saturated-regime gain so the f32 spectrum stays in range over
+            # the long path (see tests _physical_gain note)
+            import numpy as np
+            for g in p.gain:
+                g.g0 = (np.asarray(g.g0) * np.float32(0.25)).astype(
+                    np.float32)
         img, ang = create_image(p, "lax")
         p.image = img
         p.I_ang = ang
