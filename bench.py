@@ -84,20 +84,27 @@ def main():
 
     ok = check_ans(image0, i_ang0, out["img"], out["ang"], verbose=False)
 
-    # auxiliary: the seeded workload (7.8M rays)
+    # auxiliary: the seeded workload (7.8M rays). Full reference protocol
+    # like ASE: 9 timed calls, Avg/StdDev + the stability gates
+    # (src/CreateImage.cpp:166-183).
     seed_stats = {}
     if os.path.exists(SEED_INPUT):
         sp, simg0, sang0 = load_input(SEED_INPUT)
         simg, sang = create_image(sp, method)
-        st = _time_calls(lambda: create_image(sp, method), 3)
+        st = _time_calls(lambda: create_image(sp, method), 9)
+        sstats = TimingStats.of(st)
         savg = min(st)
         simg, sang = sp.image, sp.I_ang
         seed_stats = {
             "seed_small_rays_per_sec": round(7803000 / savg, 1),
             "seed_small_vs_baseline": round(
                 (7803000 / savg) / SEED_BASELINE_RAYS_PER_SEC, 3),
-            "seed_small_avg_seconds_per_call": round(
-                float(TimingStats.of(st).avg), 4),
+            "seed_small_best_seconds_per_call": round(float(savg), 4),
+            "seed_small_avg_seconds_per_call": round(float(sstats.avg), 4),
+            "seed_small_std_seconds_per_call": round(float(sstats.std), 4),
+            "seed_small_stability_ok": bool(
+                sstats.std <= 0.1 * sstats.avg
+                and sstats.max <= 1.15 * sstats.avg),
             "seed_small_golden_check": bool(
                 check_ans(simg0, sang0, simg, sang, verbose=False)),
         }
@@ -111,7 +118,8 @@ def main():
         b16 = p16.euv_beam
         n16 = b16.nx * b16.ny * b16.na * b16.nb
         create_image(p16, method)  # warmup
-        t16 = _time_calls(lambda: create_image(p16, method), 3)
+        t16 = _time_calls(lambda: create_image(p16, method), 9)
+        s16 = TimingStats.of(t16)
         img16, ang16 = p16.image, p16.I_ang
         sanity = True
         if method != "lax":
@@ -122,8 +130,11 @@ def main():
         scale16_stats = {
             "scale16_rays_per_sec": round(n16 / min(t16), 1),
             "scale16_n_rays": int(n16),
-            "scale16_avg_seconds_per_call": round(
-                float(TimingStats.of(t16).avg), 4),
+            "scale16_best_seconds_per_call": round(float(min(t16)), 4),
+            "scale16_avg_seconds_per_call": round(float(s16.avg), 4),
+            "scale16_std_seconds_per_call": round(float(s16.std), 4),
+            "scale16_stability_ok": bool(s16.std <= 0.1 * s16.avg
+                                         and s16.max <= 1.15 * s16.avg),
             "scale16_cross_backend_check": bool(sanity),
         }
     except Exception as e:  # never let the proxy kill the headline number

@@ -24,7 +24,7 @@ from __future__ import annotations
 import math
 import os
 from functools import partial
-from typing import Callable
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,8 @@ from raytrace_tpu.structures import CreateImageProblem
 from raytrace_tpu.utils import errors as err_util
 from raytrace_tpu.utils.timer import profiler
 
-__all__ = ["create_image", "generate_ray_indices", "available_methods",
+__all__ = ["create_image", "prepare_pipeline", "PreparedCall",
+           "generate_ray_indices", "available_methods",
            "BACKENDS", "N_MAX", "K_MAX"]
 
 N_MAX = 20   # max length segments (RayTraceImageHelper.h:29)
@@ -463,22 +464,39 @@ def _resolve_backend(name: str, uniform: bool) -> str:
     return name
 
 
-def create_image(problem: CreateImageProblem, compute_method: str = "auto",
-                 chunk_size: int | None = None, spectrum_dtype=jnp.float32,
-                 c: float = 0.5, deposit: str = "auto",
-                 failed_ray_path: str = "Failed_RayTrace_rays.dat",
-                 ) -> tuple[np.ndarray, np.ndarray]:
-    """Compute the near-field image and far-field angular image.
+class PreparedCall(NamedTuple):
+    """The prepare/execute split of a ``create_image`` call.
 
-    Returns ``(image, I_ang)`` as float64 numpy arrays in the reference's
-    flat layouts ``image[nv*(i1+i2*nx)+iv]`` and ``I_ang[i3+i4*na]``; they
-    are also stored on ``problem.image`` / ``problem.I_ang``.
+    ``pipeline(*operands)`` runs the whole jitted call (upload of the
+    packed problem tables + chunked scan + on-device accumulation) and
+    returns device arrays. Used by :func:`create_image` and by diagnostic
+    tooling (tools/bench_ase_breakdown.py) that needs to time stages of
+    exactly the production pipeline in isolation.
+    """
+    pipeline: Callable
+    #: (packed ray-grid bundle, trace tables, gv tables, seed_dev, beam_dev)
+    operands: tuple
+    cfg: dict
+    timer_name: str
+
+
+def prepare_pipeline(problem: CreateImageProblem,
+                     compute_method: str = "auto",
+                     chunk_size: int | None = None,
+                     spectrum_dtype=jnp.float32, c: float = 0.5,
+                     deposit: str = "auto") -> PreparedCall:
+    """Validate the problem, pack its tables, resolve the static config and
+    fetch (compiling if needed) the cached whole-call pipeline.
+
+    Host-side packing happens here; the host->device transfer happens when
+    the returned pipeline is invoked with the returned operands (inside the
+    timed region on purpose: the reference re-uploads per call because the
+    production gain tables change every iteration, Readme.txt:43).
     """
     if problem.N > N_MAX:
         raise err_util.RayTraceError("Exceeded maximum number of length segments")
     if problem.euv_beam.nv >= K_MAX:
         raise err_util.RayTraceError("Exceeded maximum number of frequencies")
-    profiler.start("create_image")
 
     beam = problem.euv_beam
     for g, d in ((beam.x, beam.dx), (beam.y, beam.dy),
@@ -567,7 +585,8 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     bin_deposit = resolve_bin_deposit(deposit, backend, method,
                                       spectrum_dtype)
     blk = dims[2] * dims[3]
-    if chunk_size is None:
+    auto_chunk = chunk_size is None
+    if auto_chunk:
         # smaller chunks bound the batched while-loop divergence (better
         # x-locality) but add scan steps; measured sweet spots per scale.
         # pallas runs per-(8,128)-tile trip counts, so divergence is bounded
@@ -586,6 +605,14 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         from raytrace_tpu.ops import pallas_kernel as pk
         align = math.lcm(pk.TILE, blk) if dense else pk.TILE
         chunk = max(align, (chunk // align) * align)
+        if auto_chunk and B_total > chunk:
+            # minimize last-chunk padding: the largest align-multiple that
+            # covers B_total in the same number of chunks. ASE_small: 7 x
+            # 65536 pads 13% dead rays; 7 x 57344 pads 0.6% -- measured
+            # 5-10 ms/call faster (interleaved best 0.123 vs 0.133 s)
+            n = math.ceil(B_total / chunk)
+            chunk = min(chunk, math.ceil(math.ceil(B_total / n) / align)
+                        * align)
     elif dense:
         chunk = max(blk, (chunk // blk) * blk)
 
@@ -610,28 +637,55 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
                dense, bin_deposit, n_chunks, problem.N_start,
                problem.N_parallel, fast_meta, pallas_meta, pack_layout,
                beam_scalars, seed_f0, fused_amplify)
+    cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
+               use_emis=use_emis, dims=dims, scale=float(scale),
+               spectrum_dtype=spectrum_dtype, c=float(c), dense=dense,
+               bin_deposit=bin_deposit,
+               chunk=chunk, n_chunks=n_chunks, img_rows=img_rows,
+               na_nb=na * nb, N_start=problem.N_start,
+               N_parallel=problem.N_parallel, fast_meta=fast_meta,
+               pallas_meta=pallas_meta, pack_layout=pack_layout,
+               beam_scalars=beam_scalars, seed_f0=seed_f0,
+               fused_amplify=fused_amplify)
     if cfg_key not in _PIPELINE_CACHE:
-        cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
-                   use_emis=use_emis, dims=dims, scale=float(scale),
-                   spectrum_dtype=spectrum_dtype, c=float(c), dense=dense,
-                   bin_deposit=bin_deposit,
-                   chunk=chunk, n_chunks=n_chunks, img_rows=img_rows,
-                   na_nb=na * nb, N_start=problem.N_start,
-                   N_parallel=problem.N_parallel, fast_meta=fast_meta,
-                   pallas_meta=pallas_meta, pack_layout=pack_layout,
-                   beam_scalars=beam_scalars, seed_f0=seed_f0,
-                   fused_amplify=fused_amplify)
         _PIPELINE_CACHE[cfg_key] = BACKENDS[backend](cfg)
-    pipeline = _PIPELINE_CACHE[cfg_key]
+    return PreparedCall(
+        pipeline=_PIPELINE_CACHE[cfg_key],
+        operands=(ray_grids, trace_tables, gv_tables, seed_dev, beam_dev),
+        cfg=cfg, timer_name=timer_name)
 
-    profiler.start(timer_name)
-    image_d, iang_d, fail_acc, codes_all = pipeline(
-        ray_grids, trace_tables, gv_tables, seed_dev, beam_dev)
+
+def create_image(problem: CreateImageProblem, compute_method: str = "auto",
+                 chunk_size: int | None = None, spectrum_dtype=jnp.float32,
+                 c: float = 0.5, deposit: str = "auto",
+                 failed_ray_path: str = "Failed_RayTrace_rays.dat",
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """Compute the near-field image and far-field angular image.
+
+    Returns ``(image, I_ang)`` as float64 numpy arrays in the reference's
+    flat layouts ``image[nv*(i1+i2*nx)+iv]`` and ``I_ang[i3+i4*na]``; they
+    are also stored on ``problem.image`` / ``problem.I_ang``.
+    """
+    profiler.start("create_image")
+    try:
+        prep = prepare_pipeline(problem, compute_method, chunk_size,
+                                spectrum_dtype, c, deposit)
+    except Exception:
+        profiler.stop("create_image")
+        raise
+    cfg = prep.cfg
+    beam = problem.euv_beam
+    src = problem.seed_beam if problem.seed is not None else beam
+    method, dims, dense = cfg["method"], cfg["dims"], cfg["dense"]
+    K, nx, ny = cfg["K"], beam.nx, beam.ny
+
+    profiler.start(prep.timer_name)
+    image_d, iang_d, fail_acc, codes_all = prep.pipeline(*prep.operands)
     # single blocking readback (each separate device->host fetch pays a
     # link round trip on tunneled devices)
     image, i_ang, fail_bits = jax.device_get((image_d, iang_d, fail_acc))
     fail_bits = int(fail_bits)
-    profiler.stop(timer_name)
+    profiler.stop(prep.timer_name)
 
     # failure path (RayTraceImage.cpp:427-430)
     if fail_bits != 0:

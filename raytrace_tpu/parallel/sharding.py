@@ -178,7 +178,8 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
     Nt = dims[0] * dims[1] * dims[2] * dims[3]
     skip = problem.N_parallel
     B_total = len(range(problem.N_start, Nt, skip)) if problem.N_start < Nt else 0
-    if chunk_size is None:
+    auto_chunk = chunk_size is None
+    if auto_chunk:
         if backend == "pallas":
             # per-(8,128)-tile trip counts bound divergence inside the tile,
             # so bigger chunks amortize better (same policy as single-device)
@@ -192,6 +193,13 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
         from raytrace_tpu.ops import pallas_kernel as pk
         per_dev = max(pk.TILE, (chunk // D // pk.TILE) * pk.TILE)
         chunk = per_dev * D
+        if auto_chunk and B_total > chunk:
+            # minimize last-chunk padding (same measured policy as the
+            # single-device path in models/ray_tracer.prepare_pipeline)
+            n = math.ceil(B_total / chunk)
+            align = pk.TILE * D
+            chunk = min(chunk, math.ceil(math.ceil(B_total / n) / align)
+                        * align)
     n_chunks = math.ceil(B_total / chunk) if B_total else 0
 
     # opt-in only: measured slower than XLA's row-gathers (see
