@@ -134,25 +134,10 @@ def make_bundle_pack(beam, src, entry_seed=None):
     return jnp.asarray(np.concatenate(bufs)), tuple(layout), scalars
 
 
-def chunk_core(cfg: dict, trace_fn, ijkm, valid, ray_grids, trace_tables,
-               gv_tables, dseed, beam):
-    """Shared per-chunk compute: ray gen -> trace -> seed -> amplify -> bin.
-
-    Returns (image_partial, iang_partial, code). ``image_partial`` is
-    [cells_chunk, K] in i-major order when cfg['dense'] else the full
-    [nx*ny, K] scatter deposit. Used by both the single-device pipeline and
-    the shard_map multi-chip path (raytrace_tpu.parallel.sharding).
-    """
-    N = cfg["N"]
-    K = cfg["K"]
-    method = cfg["method"]
-    use_emis = cfg["use_emis"]
-    dims = cfg["dims"]
-    scale = cfg["scale"]
-    dense = cfg.get("dense", False)
-    spectrum_dtype = jnp.dtype(cfg["spectrum_dtype"])
-
-    i, j, k, m = _unflatten_rays(ijkm, dims)
+def _chunk_rays(cfg: dict, ijkm, ray_grids):
+    """Entry coordinates for one chunk of flat ray indices (b-fastest
+    unflatten + f32 grid lookup)."""
+    i, j, k, m = _unflatten_rays(ijkm, cfg["dims"])
     gx, gy, ga, gb = ray_grids
     rays = {
         "x": gx[i].astype(jnp.float32),
@@ -160,7 +145,30 @@ def chunk_core(cfg: dict, trace_fn, ijkm, valid, ray_grids, trace_tables,
         "a": ga[k].astype(jnp.float32),
         "b": gb[m].astype(jnp.float32),
     }
-    res = trace_fn(rays, trace_tables)
+    return rays, (i, j, k, m)
+
+
+def chunk_trace(cfg: dict, trace_fn, ijkm, ray_grids, trace_tables):
+    """Trace stage of one chunk: ray gen -> stepper. Returns the
+    TraceResult pytree (everything chunk_post needs besides the lineshape
+    tables), so the gv upload can overlap this stage's execution on
+    latency-bound device links (see _make_split_pipeline)."""
+    rays, _ = _chunk_rays(cfg, ijkm, ray_grids)
+    return trace_fn(rays, trace_tables)
+
+
+def chunk_post(cfg: dict, ijkm, valid, ray_grids, res, gv_tables, dseed,
+               beam):
+    """Post-trace stage of one chunk: seed -> amplify -> code -> bin."""
+    N = cfg["N"]
+    K = cfg["K"]
+    method = cfg["method"]
+    use_emis = cfg["use_emis"]
+    scale = cfg["scale"]
+    dense = cfg.get("dense", False)
+    spectrum_dtype = jnp.dtype(cfg["spectrum_dtype"])
+
+    rays, (i, j, k, m) = _chunk_rays(cfg, ijkm, ray_grids)
     B = ijkm.shape[0]
     if dseed is None:
         Iv0 = jnp.zeros((B, K), dtype=spectrum_dtype)
@@ -196,13 +204,33 @@ def chunk_core(cfg: dict, trace_fn, ijkm, valid, ray_grids, trace_tables,
     return img_p, ang_p, code
 
 
+def chunk_core(cfg: dict, trace_fn, ijkm, valid, ray_grids, trace_tables,
+               gv_tables, dseed, beam):
+    """Shared per-chunk compute: ray gen -> trace -> seed -> amplify -> bin.
+
+    Returns (image_partial, iang_partial, code). ``image_partial`` is
+    [cells_chunk, K] in i-major order when cfg['dense'] else the full
+    [nx*ny, K] scatter deposit. Used by both the single-device pipeline and
+    the shard_map multi-chip path (raytrace_tpu.parallel.sharding).
+    """
+    res = chunk_trace(cfg, trace_fn, ijkm, ray_grids, trace_tables)
+    return chunk_post(cfg, ijkm, valid, ray_grids, res, gv_tables, dseed,
+                      beam)
+
+
 def _stack_gv(gains, K):
     """Lineshape tables for segments 1..N-1 (segment 0 is never read); a
-    single zero row keeps shapes valid for N=1 (no segments)."""
+    single zero row keeps shapes valid for N=1 (no segments).
+
+    Returned as HOST numpy: the split pipeline's whole point is to enqueue
+    this transfer AFTER the trace dispatch so it rides the link during the
+    trace (an eager ``jnp.asarray`` here would put it on the critical path
+    ahead of every dispatch); the single-jit pipeline transfers it as an
+    ordinary call argument."""
     if len(gains) <= 1:
-        return jnp.zeros((1, 1, K), dtype=jnp.float32)
-    return jnp.asarray(np.stack([
-        np.asarray(g.gv, np.float32).reshape(-1, K) for g in gains[1:]]))
+        return np.zeros((1, 1, K), dtype=np.float32)
+    return np.stack([
+        np.asarray(g.gv, np.float32).reshape(-1, K) for g in gains[1:]])
 
 
 def _entry_seed_host(seed, src, K):
@@ -237,13 +265,88 @@ def _fail_bits(code):
     )
 
 
+def _make_split_pipeline(cfg: dict, trace_fn):
+    """Two-dispatch pipeline overlapping the gv upload with the trace.
+
+    Measured on the tunneled TPU (ROADMAP.md breakdown): an async
+    ``device_put`` genuinely overlaps a running execution (sequential
+    90 ms -> overlapped 54 ms in the probe), and the gv lineshape tables
+    (1.15 MB of ASE_small's 1.8 MB upload) are only needed by the amplify
+    stage. So the call becomes: dispatch TRACE (needs pack + trace tables),
+    ship gv during it, dispatch AMPLIFY+BIN on the resident trace results.
+    Gated by prepare_pipeline to calls whose stacked trace results are
+    small (ASE-class); the single-jit pipeline remains the general path.
+    """
+    dims = cfg["dims"]
+    Nt = dims[0] * dims[1] * dims[2] * dims[3]
+    offset = cfg["N_start"]
+    skip = cfg["N_parallel"]
+    chunk = cfg["chunk"]
+    n_chunks = cfg["n_chunks"]
+    K = cfg["K"]
+    img_rows = cfg["img_rows"]
+    it_max = Nt // skip
+
+    def chunk_indices(ci):
+        it = ci.astype(jnp.int64) * chunk + jnp.arange(chunk, dtype=jnp.int64)
+        ijkm = offset + it * skip
+        valid = (it <= it_max) & (ijkm < Nt)
+        return jnp.where(valid, ijkm, 0), valid
+
+    @jax.jit
+    def run_trace(pack, trace_tables):
+        ray_grids_u, _beam, _dseed = unpack_bundle(cfg, pack)
+
+        def body(_, ci):
+            ijkm, _valid = chunk_indices(ci)
+            res = chunk_trace(cfg, trace_fn, ijkm, ray_grids_u, trace_tables)
+            return (), res
+
+        _, res_all = jax.lax.scan(body, (), jnp.arange(n_chunks, dtype=jnp.int32))
+        return res_all
+
+    @jax.jit
+    def run_post(pack, gv_tables, res_all, dseed):
+        ray_grids_u, beam_u, dseed_u = unpack_bundle(cfg, pack)
+        if dseed_u is None:
+            dseed_u = dseed
+        if cfg.get("fused_amplify"):
+            gv_tables = pallas_amplify.pack_gv(gv_tables)
+        image0 = jnp.zeros((img_rows, K), dtype=jnp.float64)
+        iang0 = jnp.zeros((cfg["na_nb"],), dtype=jnp.float64)
+
+        def body(carry, xs):
+            image_acc, iang_acc, fail_acc = carry
+            ci, res = xs
+            ijkm, valid = chunk_indices(ci)
+            img_p, ang_p, code = chunk_post(cfg, ijkm, valid, ray_grids_u,
+                                            res, gv_tables, dseed_u, beam_u)
+            return ((image_acc + img_p, iang_acc + ang_p,
+                     fail_acc | _fail_bits(code)), code)
+
+        (image, i_ang, fail), codes = jax.lax.scan(
+            body, (image0, iang0, jnp.uint32(0)),
+            (jnp.arange(n_chunks, dtype=jnp.int32), res_all))
+        return image, i_ang, fail, codes
+
+    def run_call(pack, trace_tables, gv_tables, dseed, beam):
+        res_all = run_trace(pack, trace_tables)   # async dispatch
+        gv_dev = jax.device_put(gv_tables)        # rides the link during it
+        return run_post(pack, gv_dev, res_all, dseed)
+
+    return run_call
+
+
 def _make_pipeline(cfg: dict, trace_fn):
     """Build the jitted whole-call pipeline: a lax.scan over ray chunks.
 
     One device dispatch per ``create_image`` call; ray indices are generated
     on device from the stride contract, so the only per-call host traffic is
     the problem tables (which the reference also re-uploads per call).
+    ``cfg['split']`` selects the two-dispatch upload-overlap variant.
     """
+    if cfg.get("split"):
+        return _make_split_pipeline(cfg, trace_fn)
     K = cfg["K"]
     dense = cfg.get("dense", False)
     dims = cfg["dims"]
@@ -360,7 +463,8 @@ def make_pallas_trace_fn(cfg):
         pg = pk.PackedGain(tables=tables, x0=meta["x0"], dxc=meta["dxc"],
                            y0=meta["y0"], dyc=meta["dyc"], nx=meta["nx"],
                            ny=meta["ny"], absy=meta["absy"],
-                           range4=meta["range4"], use_emis=use_emis)
+                           range4=meta["range4"], use_emis=use_emis,
+                           nslab=meta.get("nslab", 1))
         outs = pk.trace_tiles(tiled, N, dz, pg, method, c=c)
         gvl, evl, ivl, ex, ey, sx, sy, sz, esc = outs
         nseg = max(N - 1, 0)
@@ -447,7 +551,13 @@ def available_methods() -> list[str]:
     return methods
 
 
-def _resolve_backend(name: str, uniform: bool) -> str:
+def _resolve_backend(name: str, uniform: bool, fast_ok: bool | None = None,
+                     ) -> str:
+    """``uniform``: uniform grid spacings (the pallas envelope, any width);
+    ``fast_ok``: additionally narrow enough for the lax fast backend's
+    one-hot lane tables (fast_stepper.fits_fast)."""
+    if fast_ok is None:
+        fast_ok = uniform
     name = name.lower()
     name = _METHOD_ALIASES.get(name, name)
     if name == "auto":
@@ -456,8 +566,10 @@ def _resolve_backend(name: str, uniform: bool) -> str:
         if uniform and jax.default_backend() == "tpu":
             name = "pallas"
         else:
-            name = "lax" if uniform else "lax-exact"
-    if name in ("lax", "pallas") and not uniform:
+            name = "lax" if fast_ok else "lax-exact"
+    if name == "pallas" and not uniform:
+        name = "lax-exact"
+    if name == "lax" and not fast_ok:
         name = "lax-exact"
     if name not in BACKENDS:
         raise err_util.RayTraceError(f"Unknown method: {name}")
@@ -528,7 +640,8 @@ def prepare_pipeline(problem: CreateImageProblem,
 
     use_emis = problem.gain[0].E0 is not None and problem.seed is None
     uniform = fast_stepper.is_uniform(problem.gain)
-    backend = _resolve_backend(compute_method, uniform)
+    fast_ok = fast_stepper.fits_fast(problem.gain)
+    backend = _resolve_backend(compute_method, uniform, fast_ok)
     timer_name += "-" + backend
     K = beam.nv
     nx, ny, na, nb = beam.nx, beam.ny, beam.na, beam.nb
@@ -552,7 +665,8 @@ def prepare_pipeline(problem: CreateImageProblem,
         pallas_meta = (("x0", pg.x0), ("dxc", pg.dxc), ("y0", pg.y0),
                        ("dyc", pg.dyc), ("nx", pg.nx), ("ny", pg.ny),
                        ("absy", pg.absy),
-                       ("range4", tuple(tuple(r) for r in pg.range4)))
+                       ("range4", tuple(tuple(r) for r in pg.range4)),
+                       ("nslab", pg.nslab))
         gv_tables = _stack_gv(problem.gain, K_)
     else:
         trace_tables = prepare_gain(problem.gain)
@@ -623,6 +737,13 @@ def prepare_pipeline(problem: CreateImageProblem,
         img_rows = max(nx * ny, n_chunks * (chunk // blk))
     else:
         img_rows = nx * ny
+    # two-dispatch upload-overlap pipeline (gv ships during the trace):
+    # only when the stacked trace results stay small (ASE-class workloads;
+    # the seeded 7.8M-ray stack would be ~0.6 GB for a ~3% win)
+    nseg = max(problem.N - 1, 1)
+    trace_bytes = n_chunks * chunk * (36 * nseg + 18)
+    split = ((not dense) and n_chunks > 0 and trace_bytes <= 96 * 2 ** 20
+             and os.environ.get("RAYTRACE_NO_SPLIT") != "1")
     # fused pallas log-gain accumulation for the seeded amplify stage.
     # OFF by default: measured 8.7 ms/chunk vs 2.2 ms for XLA's row-gathers
     # on seed_small (the windowed one-hot MXU fetch loses to the native
@@ -636,7 +757,7 @@ def prepare_pipeline(problem: CreateImageProblem,
                float(scale), str(jnp.dtype(spectrum_dtype)), float(c), chunk,
                dense, bin_deposit, n_chunks, problem.N_start,
                problem.N_parallel, fast_meta, pallas_meta, pack_layout,
-               beam_scalars, seed_f0, fused_amplify)
+               beam_scalars, seed_f0, fused_amplify, split)
     cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                use_emis=use_emis, dims=dims, scale=float(scale),
                spectrum_dtype=spectrum_dtype, c=float(c), dense=dense,
@@ -646,7 +767,7 @@ def prepare_pipeline(problem: CreateImageProblem,
                N_parallel=problem.N_parallel, fast_meta=fast_meta,
                pallas_meta=pallas_meta, pack_layout=pack_layout,
                beam_scalars=beam_scalars, seed_f0=seed_f0,
-               fused_amplify=fused_amplify)
+               fused_amplify=fused_amplify, split=split)
     if cfg_key not in _PIPELINE_CACHE:
         _PIPELINE_CACHE[cfg_key] = BACKENDS[backend](cfg)
     return PreparedCall(

@@ -67,14 +67,22 @@ class FastTables(NamedTuple):
 
 
 def is_uniform(gains: list[RayGain], tol: float = 1e-9) -> bool:
+    """Uniform x/y grid spacings on every segment (any width). The pallas
+    backend handles all uniform grids (multi-slab lane tables for wide
+    ones); this fast lax backend additionally needs Nx-1 <= XPAD -- see
+    :func:`fits_fast`."""
     for g in gains:
         for grid in (np.asarray(g.x), np.asarray(g.y)):
             d = np.diff(grid)
             if np.ptp(d) > tol * np.abs(d).mean():
                 return False
-        if g.Nx - 1 > XPAD:
-            return False
     return True
+
+
+def fits_fast(gains: list[RayGain], tol: float = 1e-9) -> bool:
+    """True when this backend's one-hot lane tables apply: uniform grids
+    AND Nx-1 <= XPAD cells."""
+    return is_uniform(gains, tol) and all(g.Nx - 1 <= XPAD for g in gains)
 
 
 def pack_fast_tables(gains: list[RayGain], use_emis: bool) -> FastTables:
@@ -84,7 +92,7 @@ def pack_fast_tables(gains: list[RayGain], use_emis: bool) -> FastTables:
     nyc = max(g.Ny - 1 for g in gains)
     tx = np.zeros((N, XPAD, nyc * nch), dtype=np.float32)
     meta = []
-    if not is_uniform(gains):
+    if not fits_fast(gains):
         raise ValueError("fast stepper requires uniform gain grids with "
                          f"Nx-1 <= {XPAD}; use the exact (lax-exact) backend")
     for s, g in enumerate(gains):

@@ -65,7 +65,7 @@ f32 = jnp.float32
 class PackedGain(NamedTuple):
     """Host-precomputed kernel tables + static per-segment geometry."""
 
-    tables: jax.Array          # [N, NCH, NYPAD, 128] f32 channel tables
+    tables: jax.Array          # [N, NCH, NYPAD*NSLAB, 128] f32 channel tables
     # static python-side metadata (hashable, used at trace time)
     x0: tuple                  # per-seg grid origins (float)
     dxc: tuple                 # per-seg cell widths (float)
@@ -76,6 +76,11 @@ class PackedGain(NamedTuple):
     absy: tuple                # per-seg half-plane mirror flag (bool)
     range4: tuple              # per-seg (x0, x1, y0_mirrored, y1) floats
     use_emis: bool
+    #: x-cell slabs per y-row: grids wider than the 128-lane shuffle table
+    #: split their cell columns into ceil((Nx-1)/128) slabs; table row
+    #: (j, s) lives at index j*nslab + s, so a tile's fetch loop span stays
+    #: proportional to its y-row span (coherent tiles touch 1-2 slabs)
+    nslab: int = 1
 
 
 def pack_gain_tables(gains: list[RayGain], use_emis: bool) -> PackedGain:
@@ -96,12 +101,18 @@ def pack_gain_tables(gains: list[RayGain], use_emis: bool) -> PackedGain:
                 "pallas backend requires Nx*Ny < 2^24 (f32-exact cell ids)")
     ny_pad = max(8, max(g.Ny for g in gains))
     nch = 16 if use_emis else 12
-    tabs = np.zeros((N, nch, ny_pad, TILE_LANES), dtype=np.float32)
+    # grids wider than the 128-lane shuffle table split their cell columns
+    # into slabs: cell k1 lives at (row j*nslab + k1//128, lane k1%128)
+    nslab = max(1, -(-max(g.Nx - 1 for g in gains) // TILE_LANES))
+    tab_bytes = N * nch * ny_pad * nslab * TILE_LANES * 4
+    if tab_bytes > 8 * 2 ** 20:
+        raise ValueError(
+            f"pallas gain tables ({tab_bytes/2**20:.1f} MiB) exceed the "
+            "8 MiB VMEM budget; use the lax-exact backend")
+    tabs = np.zeros((N, nch, ny_pad * nslab, TILE_LANES), dtype=np.float32)
     x0s, dxcs, y0s, dycs, nxs, nys, absys, r4s = [], [], [], [], [], [], [], []
     for s, g in enumerate(gains):
         Nx, Ny = g.Nx, g.Ny
-        if Nx > TILE_LANES + 1:
-            raise ValueError("pallas backend requires Nx <= 129 (lane-width table)")
         x = np.asarray(g.x, np.float64)
         y = np.asarray(g.y, np.float64)
         dx = np.diff(x)
@@ -126,7 +137,11 @@ def pack_gain_tables(gains: list[RayGain], use_emis: bool) -> PackedGain:
         if use_emis:
             ch += list(cell(E0))
         for c, t in enumerate(ch):
-            tabs[s, c, : Ny - 1, : Nx - 1] = t.astype(np.float32)
+            t32 = t.astype(np.float32)
+            for sl in range(-(-(Nx - 1) // TILE_LANES)):
+                cols = t32[:, sl * TILE_LANES:(sl + 1) * TILE_LANES]
+                rows = np.arange(Ny - 1) * nslab + sl
+                tabs[s, c, rows, : cols.shape[1]] = cols
         x0s.append(float(x[0]))
         dxcs.append(float(dx.mean()))
         y0s.append(float(y[0]))
@@ -144,7 +159,7 @@ def pack_gain_tables(gains: list[RayGain], use_emis: bool) -> PackedGain:
         tables=jnp.asarray(tabs),
         x0=tuple(x0s), dxc=tuple(dxcs), y0=tuple(y0s), dyc=tuple(dycs),
         nx=tuple(nxs), ny=tuple(nys), absy=tuple(absys), range4=tuple(r4s),
-        use_emis=use_emis,
+        use_emis=use_emis, nslab=int(nslab),
     )
 
 
@@ -183,25 +198,27 @@ def _any(mask):
     return jnp.max(jnp.where(mask, f32(1.0), f32(0.0))) > f32(0.0)
 
 
-def _fetch_cells(tab_seg_ref, k1m1, k2m1, work, nch):
+def _fetch_cells(tab_seg_ref, lane, rowid, work, nch):
     """Fetch all per-cell channels for the tile via lane-shuffle gathers.
 
-    Loops only over the y-rows present among active lanes (dynamic range),
-    one ``dynamic_gather`` + masked accumulate per channel per row.
+    ``rowid`` indexes the packed table rows (y-row for single-slab grids,
+    ``j*nslab + slab`` for wide ones); the loop covers only the rowids
+    present among active lanes (dynamic range), one ``dynamic_gather`` +
+    masked accumulate per channel per rowid.
     """
-    kf = k2m1.astype(f32)
+    kf = rowid.astype(f32)
     jmin = jnp.min(jnp.where(work, kf, f32(1e6))).astype(jnp.int32)
     jmax = jnp.max(jnp.where(work, kf, f32(-1.0))).astype(jnp.int32)
     jmin = jnp.minimum(jmin, jmax)  # no active lanes -> empty loop
     vals0 = [jnp.zeros((TILE_ROWS, TILE_LANES), f32) for _ in range(nch)]
 
     def row_body(j, vals):
-        mask = (k2m1 == j) & work
+        mask = (rowid == j) & work
         out = []
         for c in range(nch):
             row = tab_seg_ref[c, pl.ds(j, 1), :]             # [1, 128]
             tab8 = jnp.broadcast_to(row, (TILE_ROWS, TILE_LANES))
-            gath = _lane_gather(tab8, k1m1)
+            gath = _lane_gather(tab8, lane)
             out.append(jnp.where(mask, gath, vals[c]))
         return out
 
@@ -239,6 +256,7 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
     nch = 16 if pg_meta["use_emis"] else 12
     use_emis = pg_meta["use_emis"]
     method = pg_meta["method"]
+    nslab = pg_meta.get("nslab", 1)
     nseg = N - 1
 
     px = rx_ref[:]
@@ -351,7 +369,18 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
             k2m1 = jnp.minimum(jnp.maximum(
                 jnp.ceil(qy).astype(jnp.int32) - 1, jnp.int32(0)),
                 ny_i - jnp.int32(2))
-            vals = _fetch_cells(tab_ref.at[jnp.int32(ii)], k1m1, k2m1, work, nch)
+            if nslab == 1:
+                lane, rowid = k1m1, k2m1
+            else:
+                # k1 -> (slab, lane); the f32 floor-scale is exact (cell ids
+                # < 2^24, 1/128 a power of two) and stays in the f32 domain
+                # Mosaic handles best (see the carry notes above)
+                slab = jnp.floor(k1m1.astype(f32)
+                                 * f32(1.0 / TILE_LANES)).astype(jnp.int32)
+                lane = k1m1 - slab * jnp.int32(TILE_LANES)
+                rowid = k2m1 * jnp.int32(nslab) + slab
+            vals = _fetch_cells(tab_ref.at[jnp.int32(ii)], lane, rowid, work,
+                                nch)
             n1, n2, n3, n4 = vals[0], vals[1], vals[2], vals[3]
             gx1, gxd, gy1, gyd = vals[4], vals[5], vals[6], vals[7]
 
@@ -651,6 +680,7 @@ def trace_tiles(rays, N: int, dz0: float, pg: PackedGain, method: int,
         ("nx", pg.nx), ("ny", pg.ny), ("absy", pg.absy),
         ("range4", tuple(tuple(r) for r in pg.range4)),
         ("use_emis", pg.use_emis), ("method", method),
+        ("nslab", pg.nslab),
     )
     return _trace_tiles_jit(rays["x"], rays["y"], rays["a"], rays["b"],
                             pg.tables, meta_key, N, float(dz0), float(c),

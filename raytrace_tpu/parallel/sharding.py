@@ -129,7 +129,8 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
     dims = (src.nx, src.ny, src.na, src.nb)
     use_emis = problem.gain[0].E0 is not None and problem.seed is None
     uniform = fast_stepper.is_uniform(problem.gain)
-    backend = ray_tracer._resolve_backend(compute_method, uniform)
+    fast_ok = fast_stepper.fits_fast(problem.gain)
+    backend = ray_tracer._resolve_backend(compute_method, uniform, fast_ok)
     K = beam.nv
     nx, ny, na, nb = beam.nx, beam.ny, beam.na, beam.nb
 
@@ -151,7 +152,8 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
         pallas_meta = (("x0", pg.x0), ("dxc", pg.dxc), ("y0", pg.y0),
                        ("dyc", pg.dyc), ("nx", pg.nx), ("ny", pg.ny),
                        ("absy", pg.absy),
-                       ("range4", tuple(tuple(r) for r in pg.range4)))
+                       ("range4", tuple(tuple(r) for r in pg.range4)),
+                       ("nslab", pg.nslab))
         gv_tables = ray_tracer._stack_gv(problem.gain, K)
     else:
         trace_tables = prepare_gain(problem.gain)

@@ -24,7 +24,8 @@ def _uniform_grid(lo, hi, n):
 def synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6, N=3, seeded=False,
                       seed_dim=21, rng=None, non_uniform_gain=False,
                       refraction_free=False,
-                      full_plane=False) -> CreateImageProblem:
+                      full_plane=False, gain_nx=30,
+                      gain_ny=12) -> CreateImageProblem:
     """A miniature ASE or seeded work unit with smooth random gain tables.
 
     ``refraction_free``: constant index of refraction (n = 1 everywhere, so
@@ -70,7 +71,7 @@ def synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6, N=3, seeded=False,
     p.euv_beam = beam
 
     gains = []
-    Nx, Ny = 30, 12
+    Nx, Ny = gain_nx, gain_ny
     gx, _ = _uniform_grid(0.0, 7e-3, Nx)
     if full_plane:
         gy, _ = _uniform_grid(-2.45e-3, 2.45e-3, Ny)

@@ -435,6 +435,60 @@ def test_backward_seeded_chunk_core_matches_oracle():
     assert np.linalg.norm(got_ang - want_ang) / max(np.linalg.norm(want_ang), 1e-300) < _JITTER_TOL
 
 
+def test_wide_gain_grid_pallas_matches_lax_exact():
+    """Nx=256 x Ny=52 gain grids -- wider than the 128-lane shuffle table,
+    so the pallas kernel's multi-slab fetch path (k1 -> (slab, lane), row
+    j*nslab + slab) engages. Cross-backend gate vs lax-exact (the
+    general-geometry reference backend), ASE + seeded.
+
+    The lax fast backend's own envelope (Nx-1 <= 128) must now resolve
+    independently: 'lax' on this problem silently falls back to lax-exact
+    while 'pallas' runs the real kernel."""
+    from raytrace_tpu.models.ray_tracer import _resolve_backend
+    from raytrace_tpu.ops import pallas_kernel as pk
+
+    p = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5,
+                          gain_nx=256, gain_ny=52)
+    assert _resolve_backend("pallas", True, False) == "pallas"
+    assert _resolve_backend("lax", True, False) == "lax-exact"
+    pg = pk.pack_gain_tables(p.gain, True)
+    assert pg.nslab == 2
+    want_img, want_ang = _oracle_images(p, 1)
+    for backend in ("lax-exact", "pallas"):
+        p2 = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5,
+                               gain_nx=256, gain_ny=52)
+        img, ang = create_image(p2, backend, chunk_size=4096)
+        rel = np.linalg.norm(img - want_img) / np.linalg.norm(want_img)
+        assert rel < _JITTER_TOL, (backend, rel)
+        rel_a = np.linalg.norm(ang - want_ang) / np.linalg.norm(want_ang)
+        assert rel_a < _JITTER_TOL, (backend, rel_a)
+
+
+def test_wide_gain_grid_seeded_pallas_matches_lax_exact():
+    p1 = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5, seeded=True,
+                           gain_nx=256, gain_ny=52)
+    img_l, ang_l = create_image(p1, "lax-exact", chunk_size=4096)
+    p2 = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5, seeded=True,
+                           gain_nx=256, gain_ny=52)
+    img_p, ang_p = create_image(p2, "pallas", chunk_size=4096)
+    assert np.linalg.norm(img_p - img_l) / max(np.linalg.norm(img_l), 1e-300) < _JITTER_TOL
+
+
+def test_narrow_gain_grid_packing_unchanged():
+    """The Nx <= 129 fast path: nslab == 1 and the packed table layout is
+    bit-identical to the pre-multi-slab layout (row j holds y-row j)."""
+    from raytrace_tpu.ops import pallas_kernel as pk
+
+    p = synthetic_problem()
+    pg = pk.pack_gain_tables(p.gain, True)
+    assert pg.nslab == 1
+    g = p.gain[0]
+    n = np.asarray(g.n, np.float64).reshape(g.Ny, g.Nx)
+    # channel 0 = n1 corner (cell [j, i] -> n[j, i])
+    got = np.asarray(pg.tables[0, 0, : g.Ny - 1, : g.Nx - 1])
+    assert np.array_equal(got, n[:-1, :-1].astype(np.float32))
+
+
 def test_full_plane_ase_all_backends():
     """absy = False (grids span negative y): the un-mirrored index walk,
     gradient handling, escape range, and binning paths. The shipped inputs
