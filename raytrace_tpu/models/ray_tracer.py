@@ -52,6 +52,12 @@ BACKENDS: dict[str, Callable] = {}
 #: process-wide cache of compiled pipelines, keyed by static config
 _PIPELINE_CACHE: dict = {}
 
+#: upload-overlap (split) pipeline gate: the stacked trace results live in
+#: HBM between the two dispatches, so cap them to ASE-class sizes -- the
+#: seeded stack (~0.7 GB) measured inside noise (A/B best 0.842 vs 0.846)
+#: while ASE measured a 12 ms win (ROADMAP.md breakdown section)
+_SPLIT_MAX_BYTES = 96 * 2 ** 20
+
 
 def _check_grid(n: int, d: float, grid: np.ndarray) -> bool:
     """Uniform-spacing check at 1e-12*d tolerance (check_grid,
@@ -742,7 +748,8 @@ def prepare_pipeline(problem: CreateImageProblem,
     # the seeded 7.8M-ray stack would be ~0.6 GB for a ~3% win)
     nseg = max(problem.N - 1, 1)
     trace_bytes = n_chunks * chunk * (36 * nseg + 18)
-    split = ((not dense) and n_chunks > 0 and trace_bytes <= 96 * 2 ** 20
+    split = ((not dense) and n_chunks > 0
+             and trace_bytes <= _SPLIT_MAX_BYTES
              and os.environ.get("RAYTRACE_NO_SPLIT") != "1")
     # fused pallas log-gain accumulation for the seeded amplify stage.
     # OFF by default: measured 8.7 ms/chunk vs 2.2 ms for XLA's row-gathers
