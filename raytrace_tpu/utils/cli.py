@@ -4,8 +4,10 @@ Usage (mirrors the reference flags, Readme.txt:42-59 / CreateImageHelpers.h:50-9
 
     python -m raytrace_tpu.utils.cli [options] file1.dat [file2.dat ...]
       -methods=lax,lax-exact     backends to benchmark (default: all
-                                 available methods -- lax-exact, lax, and
-                                 pallas when running on TPU)
+                                 available methods -- lax-exact, lax,
+                                 pallas when running on TPU, plus the
+                                 mesh-sharded multichip path when more
+                                 than one device is present)
       -iterations=N              timed calls per method (default 5)
       -scale=S                   problem-size scale factor (default 1.0)
       -multichip                 also run the mesh-sharded path
@@ -92,9 +94,17 @@ def run_tests(filename: str, options: Options) -> int:
     pout.write(f"\nRunning tests for {filename}\n\n")
     # "Default is all availible methods" (CreateImageHelpers.h:61): with no
     # -methods= flag, benchmark every backend this host can run at speed --
-    # on TPU that includes the flagship pallas kernel.
+    # on TPU that includes the flagship pallas kernel, and with >1 device
+    # the mesh-sharded path too (the reference's defaults likewise include
+    # Cuda-MultiGPU when several GPUs exist, CreateImageHelpers.h:62).
+    import jax
     from raytrace_tpu.models.ray_tracer import available_methods
-    methods = options.methods or available_methods()
+    multichip = options.multichip
+    if not options.methods:
+        methods = available_methods()
+        multichip = multichip or jax.device_count() > 1
+    else:
+        methods = options.methods
     sdtype = jnp.float64 if options.spectrum == "f64" else jnp.float32
     n_errors = 0
 
@@ -120,8 +130,7 @@ def run_tests(filename: str, options: Options) -> int:
                 n_errors += 1
         n_errors += stability_errors(stats)
 
-    if options.multichip:
-        import jax
+    if multichip:
         from raytrace_tpu.parallel.mesh import make_mesh
         from raytrace_tpu.parallel.sharding import create_image_sharded
 

@@ -97,6 +97,19 @@ def test_cli_nprocs_process_group():
         assert "All tests passed" in r.stdout
 
 
+def test_cli_default_methods_all_available(golden_file, capsys):
+    """No -methods= flag benchmarks every available backend ('Default is
+    all availible methods', CreateImageHelpers.h:61) -- and, with more
+    than one device present, the mesh-sharded path as well (the reference
+    defaults include Cuda-MultiGPU when several GPUs exist)."""
+    rc = cli.main(["-iterations=1", golden_file])
+    out = capsys.readouterr().out
+    assert "lax-exact" in out and "Running lax" in out, out
+    assert "multichip[8]" in out, out
+    assert "Answers do not match" not in out
+    assert rc == 0, out
+
+
 def test_cli_multichip_flag(golden_file, capsys):
     """-multichip runs the mesh-sharded path over the full virtual CPU mesh
     and its result must pass the same golden gate as the serial methods."""
