@@ -271,6 +271,28 @@ def _fail_bits(code):
     )
 
 
+def _make_chunk_indices(cfg: dict):
+    """On-device ray-index generation for chunk ``ci`` under the stride
+    contract (RayTraceImage.cpp:300-328) -- the single source of the
+    it/ijkm/valid logic shared by the single-jit and split pipelines.
+    Returns ``chunk_indices(ci) -> (ijkm, valid)``."""
+    dims = cfg["dims"]
+    Nt = dims[0] * dims[1] * dims[2] * dims[3]
+    offset = cfg["N_start"]
+    skip = cfg["N_parallel"]
+    chunk = cfg["chunk"]
+    it_max = Nt // skip  # last valid stride index (RayTraceImage.cpp:304)
+
+    def chunk_indices(ci):
+        it = ci.astype(jnp.int64) * chunk + jnp.arange(chunk,
+                                                       dtype=jnp.int64)
+        ijkm = offset + it * skip
+        valid = (it <= it_max) & (ijkm < Nt)
+        return jnp.where(valid, ijkm, 0), valid
+
+    return chunk_indices
+
+
 def _make_split_pipeline(cfg: dict, trace_fn):
     """Two-dispatch pipeline overlapping the gv upload with the trace.
 
@@ -283,21 +305,10 @@ def _make_split_pipeline(cfg: dict, trace_fn):
     Gated by prepare_pipeline to calls whose stacked trace results are
     small (ASE-class); the single-jit pipeline remains the general path.
     """
-    dims = cfg["dims"]
-    Nt = dims[0] * dims[1] * dims[2] * dims[3]
-    offset = cfg["N_start"]
-    skip = cfg["N_parallel"]
-    chunk = cfg["chunk"]
     n_chunks = cfg["n_chunks"]
     K = cfg["K"]
     img_rows = cfg["img_rows"]
-    it_max = Nt // skip
-
-    def chunk_indices(ci):
-        it = ci.astype(jnp.int64) * chunk + jnp.arange(chunk, dtype=jnp.int64)
-        ijkm = offset + it * skip
-        valid = (it <= it_max) & (ijkm < Nt)
-        return jnp.where(valid, ijkm, 0), valid
+    chunk_indices = _make_chunk_indices(cfg)
 
     @jax.jit
     def run_trace(pack, trace_tables):
@@ -356,14 +367,11 @@ def _make_pipeline(cfg: dict, trace_fn):
     K = cfg["K"]
     dense = cfg.get("dense", False)
     dims = cfg["dims"]
-    Nt = dims[0] * dims[1] * dims[2] * dims[3]
-    offset = cfg["N_start"]
-    skip = cfg["N_parallel"]
     chunk = cfg["chunk"]
     n_chunks = cfg["n_chunks"]
     img_rows = cfg["img_rows"]
-    it_max = Nt // skip  # last valid stride index (RayTraceImage.cpp:304)
     rows_per_chunk = chunk // (dims[2] * dims[3]) if dense else 0
+    chunk_indices = _make_chunk_indices(cfg)
 
     packed = cfg.get("pack_layout") is not None
 
@@ -387,10 +395,7 @@ def _make_pipeline(cfg: dict, trace_fn):
 
         def body(carry, ci):
             image_acc, iang_acc, fail_acc = carry
-            it = ci.astype(jnp.int64) * chunk + jnp.arange(chunk, dtype=jnp.int64)
-            ijkm = offset + it * skip
-            valid = (it <= it_max) & (ijkm < Nt)
-            ijkm = jnp.where(valid, ijkm, 0)
+            ijkm, valid = chunk_indices(ci)
             img_p, ang_p, code = chunk_core(cfg, trace_fn, ijkm, valid,
                                             ray_grids_u, trace_tables,
                                             gv_tables_u, dseed_u, beam_u)
@@ -557,23 +562,25 @@ def available_methods() -> list[str]:
     return methods
 
 
-def _resolve_backend(name: str, uniform: bool, fast_ok: bool | None = None,
-                     ) -> str:
-    """``uniform``: uniform grid spacings (the pallas envelope, any width);
-    ``fast_ok``: additionally narrow enough for the lax fast backend's
-    one-hot lane tables (fast_stepper.fits_fast)."""
+def _resolve_backend(name: str, pallas_ok: bool,
+                     fast_ok: bool | None = None) -> str:
+    """``pallas_ok``: uniform grid spacings AND inside the pallas kernel's
+    envelope (pallas_kernel.fits_pallas -- VMEM budget, f32-exact cell
+    ids); ``fast_ok``: narrow enough for the lax fast backend's one-hot
+    lane tables (fast_stepper.fits_fast). Out-of-envelope requests fall
+    back to lax-exact (the general-geometry backend) instead of raising."""
     if fast_ok is None:
-        fast_ok = uniform
+        fast_ok = pallas_ok
     name = name.lower()
     name = _METHOD_ALIASES.get(name, name)
     if name == "auto":
         # pallas (in-kernel loop nest) is fastest on TPU for both workload
         # families; lax is the portable XLA path everywhere else
-        if uniform and jax.default_backend() == "tpu":
+        if pallas_ok and jax.default_backend() == "tpu":
             name = "pallas"
         else:
             name = "lax" if fast_ok else "lax-exact"
-    if name == "pallas" and not uniform:
+    if name == "pallas" and not pallas_ok:
         name = "lax-exact"
     if name == "lax" and not fast_ok:
         name = "lax-exact"
@@ -645,9 +652,11 @@ def prepare_pipeline(problem: CreateImageProblem,
     dims = (src.nx, src.ny, src.na, src.nb)
 
     use_emis = problem.gain[0].E0 is not None and problem.seed is None
+    from raytrace_tpu.ops import pallas_kernel as _pk
     uniform = fast_stepper.is_uniform(problem.gain)
+    pallas_ok = uniform and _pk.fits_pallas(problem.gain, use_emis)
     fast_ok = fast_stepper.fits_fast(problem.gain)
-    backend = _resolve_backend(compute_method, uniform, fast_ok)
+    backend = _resolve_backend(compute_method, pallas_ok, fast_ok)
     timer_name += "-" + backend
     K = beam.nv
     nx, ny, na, nb = beam.nx, beam.ny, beam.na, beam.nb

@@ -83,6 +83,26 @@ class PackedGain(NamedTuple):
     nslab: int = 1
 
 
+#: VMEM budget for the resident channel tables (the 16 MiB VMEM also holds
+#: the ray tile, accumulators, and double-buffered blocks)
+_TABLE_VMEM_BUDGET = 8 * 2 ** 20
+
+
+def fits_pallas(gains: list[RayGain], use_emis: bool) -> bool:
+    """True when this kernel's envelope covers the gain geometry: f32-exact
+    cell ids (Nx*Ny < 2^24) and channel tables within the VMEM budget.
+    Mirrors pack_gain_tables' hard guards so backend resolution can fall
+    back to lax-exact instead of raising mid-call (grid *uniformity* is
+    checked separately by fast_stepper.is_uniform)."""
+    if any(g.Nx * g.Ny >= 2 ** 24 for g in gains):
+        return False
+    ny_pad = max(8, max(g.Ny for g in gains))
+    nslab = max(1, -(-max(g.Nx - 1 for g in gains) // TILE_LANES))
+    nch = 16 if use_emis else 12
+    return (len(gains) * nch * ny_pad * nslab * TILE_LANES * 4
+            <= _TABLE_VMEM_BUDGET)
+
+
 def pack_gain_tables(gains: list[RayGain], use_emis: bool) -> PackedGain:
     """Repack gain structs into the kernel's channel-table layout.
 
@@ -105,10 +125,11 @@ def pack_gain_tables(gains: list[RayGain], use_emis: bool) -> PackedGain:
     # into slabs: cell k1 lives at (row j*nslab + k1//128, lane k1%128)
     nslab = max(1, -(-max(g.Nx - 1 for g in gains) // TILE_LANES))
     tab_bytes = N * nch * ny_pad * nslab * TILE_LANES * 4
-    if tab_bytes > 8 * 2 ** 20:
+    if tab_bytes > _TABLE_VMEM_BUDGET:
         raise ValueError(
             f"pallas gain tables ({tab_bytes/2**20:.1f} MiB) exceed the "
-            "8 MiB VMEM budget; use the lax-exact backend")
+            f"{_TABLE_VMEM_BUDGET/2**20:.0f} MiB VMEM budget; use the "
+            "lax-exact backend")
     tabs = np.zeros((N, nch, ny_pad * nslab, TILE_LANES), dtype=np.float32)
     x0s, dxcs, y0s, dycs, nxs, nys, absys, r4s = [], [], [], [], [], [], [], []
     for s, g in enumerate(gains):

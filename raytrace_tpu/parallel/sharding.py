@@ -128,9 +128,11 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
         scale = 1.0
     dims = (src.nx, src.ny, src.na, src.nb)
     use_emis = problem.gain[0].E0 is not None and problem.seed is None
+    from raytrace_tpu.ops import pallas_kernel as _pk
     uniform = fast_stepper.is_uniform(problem.gain)
+    pallas_ok = uniform and _pk.fits_pallas(problem.gain, use_emis)
     fast_ok = fast_stepper.fits_fast(problem.gain)
-    backend = ray_tracer._resolve_backend(compute_method, uniform, fast_ok)
+    backend = ray_tracer._resolve_backend(compute_method, pallas_ok, fast_ok)
     K = beam.nv
     nx, ny, na, nb = beam.nx, beam.ny, beam.na, beam.nb
 

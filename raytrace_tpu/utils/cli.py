@@ -190,7 +190,7 @@ def _launch_process_group(argv, nprocs: int) -> int:
         coordinator_up = False
         while time.perf_counter() < deadline:
             if p0.poll() is not None:
-                break  # rank 0 died early: it lost the port race -> retry
+                break
             try:
                 socket.create_connection(("localhost", port),
                                          timeout=0.2).close()
@@ -204,7 +204,16 @@ def _launch_process_group(argv, nprocs: int) -> int:
                 p0.wait()
                 raise RuntimeError(
                     "process-group coordinator never came up")
-            continue
+            # rank 0 died before the coordinator came up. Distinguish a
+            # lost port race from a genuine failure (bad input file,
+            # import error, ...): only a race loser leaves SOMEONE ELSE
+            # listening on the port it tried to bind.
+            try:
+                socket.create_connection(("localhost", port),
+                                         timeout=0.2).close()
+                continue  # port stolen by another process -> fresh port
+            except OSError:
+                return p0.returncode  # real failure: propagate it
         procs = [p0] + [_spawn(pid, port) for pid in range(1, nprocs)]
         return max(p.wait() for p in procs)
     raise RuntimeError(

@@ -104,7 +104,9 @@ def test_cli_default_methods_all_available(golden_file, capsys):
     defaults include Cuda-MultiGPU when several GPUs exist)."""
     rc = cli.main(["-iterations=1", golden_file])
     out = capsys.readouterr().out
-    assert "lax-exact" in out and "Running lax" in out, out
+    # exact line matches: "Running lax" alone is a substring of
+    # "Running lax-exact" and would mask the lax backend being dropped
+    assert "Running lax-exact\n" in out and "Running lax\n" in out, out
     assert "multichip[8]" in out, out
     assert "Answers do not match" not in out
     assert rc == 0, out

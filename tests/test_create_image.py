@@ -474,6 +474,24 @@ def test_wide_gain_grid_seeded_pallas_matches_lax_exact():
     assert np.linalg.norm(img_p - img_l) / max(np.linalg.norm(img_l), 1e-300) < _JITTER_TOL
 
 
+def test_over_envelope_gain_grid_falls_back():
+    """A uniform grid whose channel tables exceed the pallas VMEM budget
+    must resolve to lax-exact (never raise mid-call) -- for 'auto' AND for
+    an explicit 'pallas' request, matching the silent-fallback semantics
+    of the other envelope gates."""
+    from raytrace_tpu.models.ray_tracer import _resolve_backend
+    from raytrace_tpu.ops import pallas_kernel as pk
+
+    p = synthetic_problem(nx=4, ny=3, na=3, nb=2, nv=4, N=12,
+                          gain_nx=1000, gain_ny=120)
+    assert not pk.fits_pallas(p.gain, True)  # 12*16*120*8*128*4 > 8 MiB
+    assert _resolve_backend("pallas", False, False) == "lax-exact"
+    assert _resolve_backend("auto", False, False) == "lax-exact"
+    # end-to-end: no ValueError from pack_gain_tables
+    img, ang = create_image(p, "pallas", chunk_size=512)
+    assert np.all(np.isfinite(img))
+
+
 def test_narrow_gain_grid_packing_unchanged():
     """The Nx <= 129 fast path: nslab == 1 and the packed table layout is
     bit-identical to the pre-multi-slab layout (row j holds y-row j)."""

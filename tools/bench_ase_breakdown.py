@@ -56,11 +56,19 @@ def main():
         "pallas" if jax.default_backend() == "tpu" else "lax")
     problem, image0, i_ang0 = load_input(INPUT)
 
-    # ---- e2e (the real protocol) ----
+    # ---- e2e (the real protocol; perturb the gain tables per rep so the
+    # tunnel's whole-jit result cache cannot serve a timed call) ----
     create_image(problem, method)  # warmup / compile
-    e2e_best, e2e_med = _best(lambda _: create_image(problem, method), 9)
 
-    # ---- host prep ----
+    def _perturb(_i):
+        for g in problem.gain:
+            g.g0 = (np.asarray(g.g0, np.float32)
+                    * np.float32(1.000000001))
+
+    e2e_best, e2e_med = _best(lambda _: create_image(problem, method), 9,
+                              prep=_perturb)
+
+    # ---- host prep (pure numpy packing -- no device cache involved) ----
     prep_best, prep_med = _best(lambda _: prepare_pipeline(problem, method),
                                 9)
     prep = prepare_pipeline(problem, method)
