@@ -50,7 +50,7 @@ def main():
 
     from raytrace_tpu import create_image, load_input
     from raytrace_tpu.io.loader import scale_problem
-    from raytrace_tpu.utils.stats import TimingStats, check_ans
+    from raytrace_tpu.utils.stats import TimingStats, check_ans, stability_ok
 
     # pallas (in-kernel loop nest) is the fastest backend on TPU for both
     # workloads; the lax backend is the portable fallback for CPU runs.
@@ -76,8 +76,6 @@ def main():
 
     times = _time_calls(_call, 9)
     stats = TimingStats.of(times)
-    stability_ok = (stats.std <= 0.1 * stats.avg
-                    and stats.max <= 1.15 * stats.avg)
     best = min(times)
     median = sorted(times)[len(times) // 2]
     rays_per_sec = n_rays / best
@@ -102,9 +100,7 @@ def main():
             "seed_small_best_seconds_per_call": round(float(savg), 4),
             "seed_small_avg_seconds_per_call": round(float(sstats.avg), 4),
             "seed_small_std_seconds_per_call": round(float(sstats.std), 4),
-            "seed_small_stability_ok": bool(
-                sstats.std <= 0.1 * sstats.avg
-                and sstats.max <= 1.15 * sstats.avg),
+            "seed_small_stability_ok": bool(stability_ok(sstats)),
             "seed_small_golden_check": bool(
                 check_ans(simg0, sang0, simg, sang, verbose=False)),
         }
@@ -133,8 +129,7 @@ def main():
             "scale16_best_seconds_per_call": round(float(min(t16)), 4),
             "scale16_avg_seconds_per_call": round(float(s16.avg), 4),
             "scale16_std_seconds_per_call": round(float(s16.std), 4),
-            "scale16_stability_ok": bool(s16.std <= 0.1 * s16.avg
-                                         and s16.max <= 1.15 * s16.avg),
+            "scale16_stability_ok": bool(stability_ok(s16)),
             "scale16_cross_backend_check": bool(sanity),
         }
     except Exception as e:  # never let the proxy kill the headline number
@@ -149,7 +144,7 @@ def main():
         "median_seconds_per_call": round(median, 4),
         "avg_seconds_per_call": round(stats.avg, 4),
         "std_seconds_per_call": round(stats.std, 4),
-        "stability_ok": bool(stability_ok),
+        "stability_ok": bool(stability_ok(stats)),
         "golden_check": bool(ok),
         "method": method,
         **seed_stats,

@@ -391,7 +391,7 @@ def _make_pipeline(cfg: dict, trace_fn):
         else:
             gv_tables_u = gv_tables
         image0 = jnp.zeros((img_rows, K), dtype=jnp.float64)
-        iang0 = jnp.zeros((dims and cfg["na_nb"],), dtype=jnp.float64)
+        iang0 = jnp.zeros((cfg["na_nb"],), dtype=jnp.float64)
 
         def body(carry, ci):
             image_acc, iang_acc, fail_acc = carry
@@ -652,9 +652,9 @@ def prepare_pipeline(problem: CreateImageProblem,
     dims = (src.nx, src.ny, src.na, src.nb)
 
     use_emis = problem.gain[0].E0 is not None and problem.seed is None
-    from raytrace_tpu.ops import pallas_kernel as _pk
+    from raytrace_tpu.ops import pallas_kernel as pk
     uniform = fast_stepper.is_uniform(problem.gain)
-    pallas_ok = uniform and _pk.fits_pallas(problem.gain, use_emis)
+    pallas_ok = uniform and pk.fits_pallas(problem.gain, use_emis)
     fast_ok = fast_stepper.fits_fast(problem.gain)
     backend = _resolve_backend(compute_method, pallas_ok, fast_ok)
     timer_name += "-" + backend
@@ -673,7 +673,6 @@ def prepare_pipeline(problem: CreateImageProblem,
         # the spectrum only needs the lineshape rows of segments 1..N-1
         gv_tables = _stack_gv(problem.gain, K_)
     elif backend == "pallas":
-        from raytrace_tpu.ops import pallas_kernel as pk
         pg = pk.pack_gain_tables(problem.gain, use_emis)
         trace_tables = pg.tables
         fast_meta = None
@@ -731,7 +730,6 @@ def prepare_pipeline(problem: CreateImageProblem,
         # pallas trace operates on whole (8,128) ray tiles; the dense
         # (pure-reduction) deposit additionally needs whole (na*nb) blocks,
         # so align the chunk to lcm(TILE, na*nb)
-        from raytrace_tpu.ops import pallas_kernel as pk
         align = math.lcm(pk.TILE, blk) if dense else pk.TILE
         chunk = max(align, (chunk // align) * align)
         if auto_chunk and B_total > chunk:

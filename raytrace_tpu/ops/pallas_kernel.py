@@ -88,19 +88,26 @@ class PackedGain(NamedTuple):
 _TABLE_VMEM_BUDGET = 8 * 2 ** 20
 
 
-def fits_pallas(gains: list[RayGain], use_emis: bool) -> bool:
-    """True when this kernel's envelope covers the gain geometry: f32-exact
-    cell ids (Nx*Ny < 2^24) and channel tables within the VMEM budget.
-    Mirrors pack_gain_tables' hard guards so backend resolution can fall
-    back to lax-exact instead of raising mid-call (grid *uniformity* is
-    checked separately by fast_stepper.is_uniform)."""
-    if any(g.Nx * g.Ny >= 2 ** 24 for g in gains):
-        return False
+def _table_geom(gains: list[RayGain], use_emis: bool):
+    """Channel-table geometry shared by :func:`fits_pallas` and
+    :func:`pack_gain_tables`: (ny_pad, nslab, nch, total_bytes)."""
     ny_pad = max(8, max(g.Ny for g in gains))
     nslab = max(1, -(-max(g.Nx - 1 for g in gains) // TILE_LANES))
     nch = 16 if use_emis else 12
-    return (len(gains) * nch * ny_pad * nslab * TILE_LANES * 4
-            <= _TABLE_VMEM_BUDGET)
+    return ny_pad, nslab, nch, (len(gains) * nch * ny_pad * nslab
+                                * TILE_LANES * 4)
+
+
+def fits_pallas(gains: list[RayGain], use_emis: bool) -> bool:
+    """True when this kernel's envelope covers the gain geometry: f32-exact
+    cell ids (Nx*Ny < 2^24) and channel tables within the VMEM budget.
+    The same conditions pack_gain_tables enforces with hard errors, so
+    backend resolution can fall back to lax-exact instead of raising
+    mid-call (grid *uniformity* is checked separately by
+    fast_stepper.is_uniform)."""
+    if any(g.Nx * g.Ny >= 2 ** 24 for g in gains):
+        return False
+    return _table_geom(gains, use_emis)[3] <= _TABLE_VMEM_BUDGET
 
 
 def pack_gain_tables(gains: list[RayGain], use_emis: bool) -> PackedGain:
@@ -119,12 +126,9 @@ def pack_gain_tables(gains: list[RayGain], use_emis: bool) -> PackedGain:
         if g.Nx * g.Ny >= 2 ** 24:
             raise ValueError(
                 "pallas backend requires Nx*Ny < 2^24 (f32-exact cell ids)")
-    ny_pad = max(8, max(g.Ny for g in gains))
-    nch = 16 if use_emis else 12
     # grids wider than the 128-lane shuffle table split their cell columns
     # into slabs: cell k1 lives at (row j*nslab + k1//128, lane k1%128)
-    nslab = max(1, -(-max(g.Nx - 1 for g in gains) // TILE_LANES))
-    tab_bytes = N * nch * ny_pad * nslab * TILE_LANES * 4
+    ny_pad, nslab, nch, tab_bytes = _table_geom(gains, use_emis)
     if tab_bytes > _TABLE_VMEM_BUDGET:
         raise ValueError(
             f"pallas gain tables ({tab_bytes/2**20:.1f} MiB) exceed the "

@@ -65,8 +65,7 @@ def make_sharded_pipeline(cfg: dict, trace_fn, mesh: Mesh):
         if cfg.get("fused_amplify"):
             from raytrace_tpu.ops import pallas_amplify
             gv_tables = pallas_amplify.pack_gv(gv_tables)
-        image0 = jnp.zeros((dims[0] * dims[1] if False else cfg["img_cells"],
-                            K), dtype=jnp.float64)
+        image0 = jnp.zeros((cfg["img_cells"], K), dtype=jnp.float64)
         iang0 = jnp.zeros((cfg["na_nb"],), dtype=jnp.float64)
 
         def body(carry, ci):
@@ -128,9 +127,9 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
         scale = 1.0
     dims = (src.nx, src.ny, src.na, src.nb)
     use_emis = problem.gain[0].E0 is not None and problem.seed is None
-    from raytrace_tpu.ops import pallas_kernel as _pk
+    from raytrace_tpu.ops import pallas_kernel as pk
     uniform = fast_stepper.is_uniform(problem.gain)
-    pallas_ok = uniform and _pk.fits_pallas(problem.gain, use_emis)
+    pallas_ok = uniform and pk.fits_pallas(problem.gain, use_emis)
     fast_ok = fast_stepper.fits_fast(problem.gain)
     backend = ray_tracer._resolve_backend(compute_method, pallas_ok, fast_ok)
     K = beam.nv
@@ -147,7 +146,6 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
         # multi-GPU path drives its CUDA kernel (RayTraceImage.cpp:396-405);
         # off-TPU the kernel executes via the Pallas interpreter (a chosen,
         # semantics-identical fallback -- ops/pallas_kernel.trace_tiles)
-        from raytrace_tpu.ops import pallas_kernel as pk
         pg = pk.pack_gain_tables(problem.gain, use_emis)
         trace_tables = pg.tables
         fast_meta = None
@@ -194,7 +192,6 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
     chunk = max(D, (chunk // D) * D)
     if backend == "pallas":
         # each device's chunk share must be whole (8,128) ray tiles
-        from raytrace_tpu.ops import pallas_kernel as pk
         per_dev = max(pk.TILE, (chunk // D // pk.TILE) * pk.TILE)
         chunk = per_dev * D
         if auto_chunk and B_total > chunk:

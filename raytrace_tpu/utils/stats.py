@@ -17,7 +17,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["TimingStats", "check_ans", "stability_errors", "GOLDEN_TOL"]
+__all__ = ["TimingStats", "check_ans", "stability_ok", "stability_errors",
+           "GOLDEN_TOL"]
 
 GOLDEN_TOL = 5e-6  # CreateImageHelpers.cpp:89-90
 
@@ -56,6 +57,13 @@ def check_ans(image0, i_ang0, image, i_ang, verbose: bool = True) -> bool:
         print(f"    image: {err[0]} {norm0[0]} {norm1[0]}")
         print(f"    I_ang: {err[1]} {norm0[1]} {norm1[1]}")
     return bool(ok)
+
+
+def stability_ok(stats: TimingStats) -> bool:
+    """Pure-predicate form of the timing reproducibility gates
+    (stddev <= 10% of avg AND max <= avg + 15%, CreateImage.cpp:174-181);
+    use where stdout must stay clean (bench.py's one-JSON-line contract)."""
+    return stats.std <= 0.1 * stats.avg and stats.max <= 1.15 * stats.avg
 
 
 def stability_errors(stats: TimingStats) -> int:
