@@ -475,7 +475,8 @@ def make_pallas_trace_fn(cfg):
                            y0=meta["y0"], dyc=meta["dyc"], nx=meta["nx"],
                            ny=meta["ny"], absy=meta["absy"],
                            range4=meta["range4"], use_emis=use_emis,
-                           nslab=meta.get("nslab", 1))
+                           nslab=meta.get("nslab", 1),
+                           nonuniform=meta.get("nonuniform", False))
         outs = pk.trace_tiles(tiled, N, dz, pg, method, c=c)
         gvl, evl, ivl, ex, ey, sx, sy, sz, esc = outs
         nseg = max(N - 1, 0)
@@ -564,11 +565,12 @@ def available_methods() -> list[str]:
 
 def _resolve_backend(name: str, pallas_ok: bool,
                      fast_ok: bool | None = None) -> str:
-    """``pallas_ok``: uniform grid spacings AND inside the pallas kernel's
-    envelope (pallas_kernel.fits_pallas -- VMEM budget, f32-exact cell
-    ids); ``fast_ok``: narrow enough for the lax fast backend's one-hot
-    lane tables (fast_stepper.fits_fast). Out-of-envelope requests fall
-    back to lax-exact (the general-geometry backend) instead of raising."""
+    """``pallas_ok``: inside the pallas kernel's envelope
+    (pallas_kernel.fits_pallas -- VMEM budget, f32-exact cell ids, and for
+    non-uniform spacings <= 128 grid points/axis); ``fast_ok``: uniform
+    grids narrow enough for the lax fast backend's one-hot lane tables
+    (fast_stepper.fits_fast). Out-of-envelope requests fall back to
+    lax-exact (the general-geometry backend) instead of raising."""
     if fast_ok is None:
         fast_ok = pallas_ok
     name = name.lower()
@@ -653,8 +655,7 @@ def prepare_pipeline(problem: CreateImageProblem,
 
     use_emis = problem.gain[0].E0 is not None and problem.seed is None
     from raytrace_tpu.ops import pallas_kernel as pk
-    uniform = fast_stepper.is_uniform(problem.gain)
-    pallas_ok = uniform and pk.fits_pallas(problem.gain, use_emis)
+    pallas_ok = pk.fits_pallas(problem.gain, use_emis)
     fast_ok = fast_stepper.fits_fast(problem.gain)
     backend = _resolve_backend(compute_method, pallas_ok, fast_ok)
     timer_name += "-" + backend
@@ -680,7 +681,8 @@ def prepare_pipeline(problem: CreateImageProblem,
                        ("dyc", pg.dyc), ("nx", pg.nx), ("ny", pg.ny),
                        ("absy", pg.absy),
                        ("range4", tuple(tuple(r) for r in pg.range4)),
-                       ("nslab", pg.nslab))
+                       ("nslab", pg.nslab),
+                       ("nonuniform", pg.nonuniform))
         gv_tables = _stack_gv(problem.gain, K_)
     else:
         trace_tables = prepare_gain(problem.gain)

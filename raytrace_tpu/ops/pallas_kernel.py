@@ -17,8 +17,10 @@ single-tile ``tpu.dynamic_gather`` lane shuffle ((8,128), table width <= 128,
   in the tile* (a dynamic ``fori`` from min(k2) to max(k2), typically a span
   of 1-4 rows thanks to ray coherence) and does one lane-shuffle gather +
   masked accumulate per channel per row;
-* index search exploits the uniform grids (validated at load) with pure
-  arithmetic -- no bisection, no compares against the grid.
+* index search: uniform grids (the shipped workloads) use pure arithmetic
+  -- no bisection, no compares against the grid; non-uniform grids run the
+  reference's findindex bisection in-kernel (7 lane-shuffle rounds over
+  per-segment coordinate rows, RayTraceImageHelper.h:131-143).
 
 Channels fetched per cell (all float32):
   0-3   n corners n1, n2, n3, n4          (bilinear re-interp of n)
@@ -26,6 +28,7 @@ Channels fetched per cell (all float32):
   6-7   gy1, gyd = gy2-gy1                (d n/dy)
   8-11  g0 corners                        (gain at line center)
   12-15 E0 corners                        (emissivity; ASE only)
+  +4    xlo, dxc, ylo, dyc per cell       (non-uniform grids only)
 
 Numerics are float32 with the same precision placement as the reference
 kernel; uniform-grid index arithmetic and f32 grid reconstruction introduce
@@ -65,7 +68,7 @@ f32 = jnp.float32
 class PackedGain(NamedTuple):
     """Host-precomputed kernel tables + static per-segment geometry."""
 
-    tables: jax.Array          # [N, NCH, NYPAD*NSLAB, 128] f32 channel tables
+    tables: jax.Array          # [N, NCH(+5), NYPAD*NSLAB, 128] f32 channel tables
     # static python-side metadata (hashable, used at trace time)
     x0: tuple                  # per-seg grid origins (float)
     dxc: tuple                 # per-seg cell widths (float)
@@ -81,6 +84,13 @@ class PackedGain(NamedTuple):
     #: (j, s) lives at index j*nslab + s, so a tile's fetch loop span stays
     #: proportional to its y-row span (coherent tiles touch 1-2 slabs)
     nslab: int = 1
+    #: non-uniform grid spacings: the kernel switches the index search to an
+    #: in-kernel findindex bisection over per-segment coordinate rows and
+    #: reads the cell geometry (x_lo, dx_cell, y_lo, dy_cell) from four
+    #: extra fetched channels instead of uniform-grid arithmetic
+    #: (RayTraceImageHelper.h:131-143, 472-494). Requires <= 128 grid
+    #: points per axis (the coordinate rows ride the 128-lane table).
+    nonuniform: bool = False
 
 
 #: VMEM budget for the resident channel tables (the 16 MiB VMEM also holds
@@ -88,34 +98,50 @@ class PackedGain(NamedTuple):
 _TABLE_VMEM_BUDGET = 8 * 2 ** 20
 
 
-def _table_geom(gains: list[RayGain], use_emis: bool):
+def _is_nonuniform(gains: list[RayGain]) -> bool:
+    """Any segment with non-uniform x/y spacings (same 1e-9 test as
+    fast_stepper.is_uniform -- resolution and packing must agree)."""
+    from raytrace_tpu.ops import fast_stepper
+    return not fast_stepper.is_uniform(gains)
+
+
+def _table_geom(gains: list[RayGain], use_emis: bool, nonuniform: bool):
     """Channel-table geometry shared by :func:`fits_pallas` and
-    :func:`pack_gain_tables`: (ny_pad, nslab, nch, total_bytes)."""
+    :func:`pack_gain_tables`: (ny_pad, nslab, nch, total_bytes). ``nch``
+    counts the fetched per-cell channels (incl. the 4 geometry channels in
+    nonuniform mode); the +1 coordinate channel only affects the bytes."""
     ny_pad = max(8, max(g.Ny for g in gains))
     nslab = max(1, -(-max(g.Nx - 1 for g in gains) // TILE_LANES))
-    nch = 16 if use_emis else 12
-    return ny_pad, nslab, nch, (len(gains) * nch * ny_pad * nslab
-                                * TILE_LANES * 4)
+    nch = (16 if use_emis else 12) + (4 if nonuniform else 0)
+    n_extra = 1 if nonuniform else 0
+    return ny_pad, nslab, nch, (len(gains) * (nch + n_extra) * ny_pad
+                                * nslab * TILE_LANES * 4)
 
 
 def fits_pallas(gains: list[RayGain], use_emis: bool) -> bool:
     """True when this kernel's envelope covers the gain geometry: f32-exact
-    cell ids (Nx*Ny < 2^24) and channel tables within the VMEM budget.
-    The same conditions pack_gain_tables enforces with hard errors, so
-    backend resolution can fall back to lax-exact instead of raising
-    mid-call (grid *uniformity* is checked separately by
-    fast_stepper.is_uniform)."""
+    cell ids (Nx*Ny < 2^24), channel tables within the VMEM budget, and --
+    for non-uniform spacings -- at most 128 grid points per axis (the
+    findindex coordinate rows ride the 128-lane table). The same
+    conditions pack_gain_tables enforces with hard errors, so backend
+    resolution can fall back to lax-exact instead of raising mid-call."""
     if any(g.Nx * g.Ny >= 2 ** 24 for g in gains):
         return False
-    return _table_geom(gains, use_emis)[3] <= _TABLE_VMEM_BUDGET
+    nonuniform = _is_nonuniform(gains)
+    if nonuniform and any(g.Nx > TILE_LANES or g.Ny > TILE_LANES
+                          for g in gains):
+        return False
+    return _table_geom(gains, use_emis, nonuniform)[3] <= _TABLE_VMEM_BUDGET
 
 
 def pack_gain_tables(gains: list[RayGain], use_emis: bool) -> PackedGain:
     """Repack gain structs into the kernel's channel-table layout.
 
-    Requires uniform x/y grids (checked at 1e-9 relative tolerance); the lax
-    backend handles the general case. Channel values are computed in float64
-    and rounded once to float32, preserving the reference's double-precision
+    Uniform grids (1e-9 relative tolerance) use pure index arithmetic;
+    non-uniform grids (up to 128 points per axis) get the bisection layout:
+    4 extra per-cell geometry channels + a coordinate-row channel (see
+    PackedGain.nonuniform). Channel values are computed in float64 and
+    rounded once to float32, preserving the reference's double-precision
     n-gradient rule (RayTraceStructures.h:215-217).
     """
     N = len(gains)
@@ -128,13 +154,21 @@ def pack_gain_tables(gains: list[RayGain], use_emis: bool) -> PackedGain:
                 "pallas backend requires Nx*Ny < 2^24 (f32-exact cell ids)")
     # grids wider than the 128-lane shuffle table split their cell columns
     # into slabs: cell k1 lives at (row j*nslab + k1//128, lane k1%128)
-    ny_pad, nslab, nch, tab_bytes = _table_geom(gains, use_emis)
+    nonuniform = _is_nonuniform(gains)
+    if nonuniform and any(g.Nx > TILE_LANES or g.Ny > TILE_LANES
+                          for g in gains):
+        raise ValueError(
+            "pallas backend requires <= 128 grid points per axis for "
+            "non-uniform spacings (coordinate rows ride the 128-lane "
+            "table); use the lax-exact backend")
+    ny_pad, nslab, nch, tab_bytes = _table_geom(gains, use_emis, nonuniform)
     if tab_bytes > _TABLE_VMEM_BUDGET:
         raise ValueError(
             f"pallas gain tables ({tab_bytes/2**20:.1f} MiB) exceed the "
             f"{_TABLE_VMEM_BUDGET/2**20:.0f} MiB VMEM budget; use the "
             "lax-exact backend")
-    tabs = np.zeros((N, nch, ny_pad * nslab, TILE_LANES), dtype=np.float32)
+    n_chan = nch + (1 if nonuniform else 0)  # +1 coordinate-row channel
+    tabs = np.zeros((N, n_chan, ny_pad * nslab, TILE_LANES), dtype=np.float32)
     x0s, dxcs, y0s, dycs, nxs, nys, absys, r4s = [], [], [], [], [], [], [], []
     for s, g in enumerate(gains):
         Nx, Ny = g.Nx, g.Ny
@@ -142,8 +176,6 @@ def pack_gain_tables(gains: list[RayGain], use_emis: bool) -> PackedGain:
         y = np.asarray(g.y, np.float64)
         dx = np.diff(x)
         dy = np.diff(y)
-        if (np.ptp(dx) > 1e-9 * dx.mean()) or (np.ptp(dy) > 1e-9 * dy.mean()):
-            raise ValueError("pallas backend requires uniform gain grids")
         n = np.asarray(g.n, np.float64).reshape(Ny, Nx)
         g0 = np.asarray(g.g0, np.float64).reshape(Ny, Nx)
         E0 = (np.asarray(g.E0, np.float64).reshape(Ny, Nx)
@@ -161,12 +193,26 @@ def pack_gain_tables(gains: list[RayGain], use_emis: bool) -> PackedGain:
         ch += list(cell(g0))
         if use_emis:
             ch += list(cell(E0))
+        if nonuniform:
+            # per-cell geometry (the reference reads x[k1-1], the cell
+            # widths, etc. per cell, RayTraceImageHelper.h:480-494)
+            ones_j = np.ones((Ny - 1, 1))
+            ones_i = np.ones((1, Nx - 1))
+            ch += [ones_j * x[:-1][None, :],    # xlo
+                   ones_j * dx[None, :],        # dxc
+                   y[:-1][:, None] * ones_i,    # ylo
+                   dy[:, None] * ones_i]        # dyc
         for c, t in enumerate(ch):
             t32 = t.astype(np.float32)
             for sl in range(-(-(Nx - 1) // TILE_LANES)):
                 cols = t32[:, sl * TILE_LANES:(sl + 1) * TILE_LANES]
                 rows = np.arange(Ny - 1) * nslab + sl
                 tabs[s, c, rows, : cols.shape[1]] = cols
+        if nonuniform:
+            # findindex coordinate rows (channel nch): row 0 = x points,
+            # row 1 = y points, f32-rounded once from the f64 grids
+            tabs[s, nch, 0, :Nx] = x.astype(np.float32)
+            tabs[s, nch, 1, :Ny] = y.astype(np.float32)
         x0s.append(float(x[0]))
         dxcs.append(float(dx.mean()))
         y0s.append(float(y[0]))
@@ -184,7 +230,7 @@ def pack_gain_tables(gains: list[RayGain], use_emis: bool) -> PackedGain:
         tables=jnp.asarray(tabs),
         x0=tuple(x0s), dxc=tuple(dxcs), y0=tuple(y0s), dyc=tuple(dycs),
         nx=tuple(nxs), ny=tuple(nys), absy=tuple(absys), range4=tuple(r4s),
-        use_emis=use_emis, nslab=int(nslab),
+        use_emis=use_emis, nslab=int(nslab), nonuniform=bool(nonuniform),
     )
 
 
@@ -278,10 +324,14 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
     normalization, RayTraceImageHelper.h:404-418) is computed outside the
     kernel in XLA for f64-tan parity with the reference.
     """
-    nch = 16 if pg_meta["use_emis"] else 12
     use_emis = pg_meta["use_emis"]
     method = pg_meta["method"]
     nslab = pg_meta.get("nslab", 1)
+    nonuniform = pg_meta.get("nonuniform", False)
+    # fetched channels: physics (+E0) + the 4 per-cell geometry channels in
+    # nonuniform mode; the coordinate rows live one channel past them
+    gbase = 16 if use_emis else 12
+    nch = gbase + (4 if nonuniform else 0)
     nseg = N - 1
 
     px = rx_ref[:]
@@ -348,6 +398,38 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
         box0 = f32(0.1) * dxc
         box1 = f32(0.1) * dyc
 
+        if nonuniform:
+            # per-segment findindex coordinate rows (channel nch: row 0 =
+            # x points, row 1 = y points), broadcast once per segment.
+            # Row starts derive from ii so they are genuine i32 tracers --
+            # concrete jnp.int32 constants flatten differently in the
+            # ref-transform pytree and break the Mosaic load rule
+            tseg = tab_ref.at[jnp.int32(ii)]
+            z0 = ii * jnp.int32(0)
+            xrow8 = jnp.broadcast_to(tseg[nch, pl.ds(z0, 1), :],
+                                     (TILE_ROWS, TILE_LANES))
+            yrow8 = jnp.broadcast_to(tseg[nch, pl.ds(z0 + jnp.int32(1), 1), :],
+                                     (TILE_ROWS, TILE_LANES))
+
+        def findindex(row8, q, n_pts):
+            """Reference findindex bisection (RayTraceImageHelper.h:
+            131-143): returns upper in [1, n_pts-1] with X[upper] >= q.
+            Fixed 7 rounds (ceil(log2(128))); converged lanes no-op. All
+            values ride f32 (exact small ints, the kernel's safe domain);
+            initial bounds derive from lane data so carries stay in
+            concrete Mosaic layouts."""
+            lanes0 = q * f32(0.0)
+            lower = lanes0
+            upper = lanes0 + (n_pts - jnp.int32(1)).astype(f32)
+            for _ in range(7):
+                active = (upper - lower) > f32(1.5)  # (upper-lower) != 1
+                value = jnp.floor((upper + lower) * f32(0.5))
+                xv = _lane_gather(row8, value.astype(jnp.int32))
+                ge = xv >= q
+                upper = jnp.where(active & ge, value, upper)
+                lower = jnp.where(active & ~ge, value, lower)
+            return upper
+
         def l0_cond(st):
             return _any(~_b(st["esc"]) & (st["iz"] < f32(N_SUB)))
 
@@ -383,17 +465,24 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
             work = act & ~esc_now
 
             y_eff = jnp.abs(p_y) if absy else p_y
-            # uniform-grid interval index (== findindex on these grids)
-            qx = (p_x - x0) * inv_dx
-            qy = (y_eff - y0) * inv_dy
-            # explicit i32 bounds: jnp.clip materializes int64 scalars
-            # under x64 mode, which Mosaic cannot lower
-            k1m1 = jnp.minimum(jnp.maximum(
-                jnp.ceil(qx).astype(jnp.int32) - 1, jnp.int32(0)),
-                nx_i - jnp.int32(2))
-            k2m1 = jnp.minimum(jnp.maximum(
-                jnp.ceil(qy).astype(jnp.int32) - 1, jnp.int32(0)),
-                ny_i - jnp.int32(2))
+            if nonuniform:
+                # real findindex bisection over the coordinate rows
+                k1m1 = findindex(xrow8, p_x, nx_i).astype(jnp.int32) \
+                    - jnp.int32(1)
+                k2m1 = findindex(yrow8, y_eff, ny_i).astype(jnp.int32) \
+                    - jnp.int32(1)
+            else:
+                # uniform-grid interval index (== findindex on these grids)
+                qx = (p_x - x0) * inv_dx
+                qy = (y_eff - y0) * inv_dy
+                # explicit i32 bounds: jnp.clip materializes int64 scalars
+                # under x64 mode, which Mosaic cannot lower
+                k1m1 = jnp.minimum(jnp.maximum(
+                    jnp.ceil(qx).astype(jnp.int32) - 1, jnp.int32(0)),
+                    nx_i - jnp.int32(2))
+                k2m1 = jnp.minimum(jnp.maximum(
+                    jnp.ceil(qy).astype(jnp.int32) - 1, jnp.int32(0)),
+                    ny_i - jnp.int32(2))
             if nslab == 1:
                 lane, rowid = k1m1, k2m1
             else:
@@ -409,10 +498,25 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
             n1, n2, n3, n4 = vals[0], vals[1], vals[2], vals[3]
             gx1, gxd, gy1, gyd = vals[4], vals[5], vals[6], vals[7]
 
-            xlo = x0 + k1m1.astype(f32) * dxc
-            ylo = y0 + k2m1.astype(f32) * dyc
-            dxi = (p_x - xlo) * inv_dx
-            dyi = (y_eff - ylo) * inv_dy
+            if nonuniform:
+                # per-cell geometry from the fetched channels (the
+                # reference reads x[k1-1] and the cell widths per cell)
+                xlo = vals[gbase + 0]
+                dxc_l = vals[gbase + 1]
+                ylo = vals[gbase + 2]
+                dyc_l = vals[gbase + 3]
+                inv_dx_l = f32(1.0) / dxc_l   # inf on masked lanes: all
+                inv_dy_l = f32(1.0) / dyc_l   # downstream uses are masked
+                box0_l = f32(0.1) * dxc_l
+                box1_l = f32(0.1) * dyc_l
+            else:
+                xlo = x0 + k1m1.astype(f32) * dxc
+                ylo = y0 + k2m1.astype(f32) * dyc
+                dxc_l, dyc_l = dxc, dyc
+                inv_dx_l, inv_dy_l = inv_dx, inv_dy
+                box0_l, box1_l = box0, box1
+            dxi = (p_x - xlo) * inv_dx_l
+            dyi = (y_eff - ylo) * inv_dy_l
             dxi2c = f32(1.0) - dxi
             dyi2c = f32(1.0) - dyi
             g0c = ((dxi * vals[9] + dxi2c * vals[8]) * dyi2c
@@ -424,10 +528,10 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
             else:
                 E0c = jnp.zeros_like(g0c)
 
-            exlo = xlo - f32(0.1) * dxc
-            exhi = xlo + dxc + f32(0.1) * dxc
-            eyhi = ylo + dyc + f32(0.1) * dyc
-            eylo_raw = ylo - f32(0.1) * dyc
+            exlo = xlo - f32(0.1) * dxc_l
+            exhi = xlo + dxc_l + f32(0.1) * dxc_l
+            eyhi = ylo + dyc_l + f32(0.1) * dyc_l
+            eylo_raw = ylo - f32(0.1) * dyc_l
             if absy:
                 eylo = jnp.where(k2m1 <= 0, -eyhi, eylo_raw)
             else:
@@ -441,8 +545,8 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
             # re-interp) -----------------------------------------------------
             def interp_cell(px_, py_, z2_):
                 q_y = jnp.abs(py_) if absy else py_
-                dxi2 = (px_ - xlo) * inv_dx
-                dyi2 = (q_y - ylo) * inv_dy
+                dxi2 = (px_ - xlo) * inv_dx_l
+                dyi2 = (q_y - ylo) * inv_dy_l
                 n0 = ((dxi2 * n2 + (f32(1.0) - dxi2) * n1)
                       * (f32(1.0) - dyi2)
                       + (dxi2 * n4 + (f32(1.0) - dxi2) * n3) * dyi2)
@@ -501,7 +605,7 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
 
                 # propagate-exit test (lagged-n drift check matches the
                 # reference's loop structure)
-                l2_ok = ((jnp.abs(rx) < box0) & (jnp.abs(ry) < box1)
+                l2_ok = ((jnp.abs(rx) < box0_l) & (jnp.abs(ry) < box1_l)
                          & (jnp.abs(rz) < box2)
                          & (jnp.abs(n_lag - n0) < f32(0.05)))
                 commit = a1 & ~l2_ok
@@ -705,7 +809,7 @@ def trace_tiles(rays, N: int, dz0: float, pg: PackedGain, method: int,
         ("nx", pg.nx), ("ny", pg.ny), ("absy", pg.absy),
         ("range4", tuple(tuple(r) for r in pg.range4)),
         ("use_emis", pg.use_emis), ("method", method),
-        ("nslab", pg.nslab),
+        ("nslab", pg.nslab), ("nonuniform", pg.nonuniform),
     )
     return _trace_tiles_jit(rays["x"], rays["y"], rays["a"], rays["b"],
                             pg.tables, meta_key, N, float(dz0), float(c),

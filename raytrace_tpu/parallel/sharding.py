@@ -128,8 +128,7 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
     dims = (src.nx, src.ny, src.na, src.nb)
     use_emis = problem.gain[0].E0 is not None and problem.seed is None
     from raytrace_tpu.ops import pallas_kernel as pk
-    uniform = fast_stepper.is_uniform(problem.gain)
-    pallas_ok = uniform and pk.fits_pallas(problem.gain, use_emis)
+    pallas_ok = pk.fits_pallas(problem.gain, use_emis)
     fast_ok = fast_stepper.fits_fast(problem.gain)
     backend = ray_tracer._resolve_backend(compute_method, pallas_ok, fast_ok)
     K = beam.nv
@@ -153,7 +152,8 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
                        ("dyc", pg.dyc), ("nx", pg.nx), ("ny", pg.ny),
                        ("absy", pg.absy),
                        ("range4", tuple(tuple(r) for r in pg.range4)),
-                       ("nslab", pg.nslab))
+                       ("nslab", pg.nslab),
+                       ("nonuniform", pg.nonuniform))
         gv_tables = ray_tracer._stack_gv(problem.gain, K)
     else:
         trace_tables = prepare_gain(problem.gain)

@@ -79,9 +79,21 @@ def synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6, N=3, seeded=False,
         gy, _ = _uniform_grid(0.0, 2.45e-3, Ny)
     gx = np.sort(gx)
     gy = np.sort(gy)
-    if non_uniform_gain:
+    if non_uniform_gain is True:
         gx = np.sort(gx + rng.uniform(-2e-5, 2e-5, Nx))
         gy = np.sort(gy + rng.uniform(-5e-6, 5e-6, Ny))
+    elif non_uniform_gain:
+        # float strength w: power-warp the coordinates (t -> t^(1+w) over
+        # the same extents) -- strongly non-uniform spacings that really
+        # exercise findindex bisection, unlike the tiny jitter above
+        w = float(non_uniform_gain)
+
+        def _warp(g):
+            t = (g - g[0]) / (g[-1] - g[0])
+            return g[0] + (g[-1] - g[0]) * t ** (1.0 + w)
+
+        gx = _warp(gx)
+        gy = gy if gy[0] < 0 else _warp(gy)  # keep full-plane grids simple
     X, Y = np.meshgrid(gx, gy)  # [Ny, Nx]
     for s in range(N):
         g = RayGain()

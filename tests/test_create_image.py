@@ -474,6 +474,39 @@ def test_wide_gain_grid_seeded_pallas_matches_lax_exact():
     assert np.linalg.norm(img_p - img_l) / max(np.linalg.norm(img_l), 1e-300) < _JITTER_TOL
 
 
+def test_nonuniform_gain_pallas_matches_oracle():
+    """Strongly non-uniform (power-warped) gain grids at the performance
+    tier: the pallas kernel's in-kernel findindex bisection + per-cell
+    geometry channels vs the scalar oracle and lax-exact (the reference's
+    arbitrary-grid envelope, RayTraceImageHelper.h:472-494)."""
+    from raytrace_tpu.ops import pallas_kernel as pk
+
+    p = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5,
+                          non_uniform_gain=0.5)
+    assert pk.fits_pallas(p.gain, True)
+    pg = pk.pack_gain_tables(p.gain, True)
+    assert pg.nonuniform and pg.nslab == 1
+    want_img, want_ang = _oracle_images(p, 1)
+    for backend in ("lax-exact", "pallas"):
+        p2 = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5,
+                               non_uniform_gain=0.5)
+        img, ang = create_image(p2, backend, chunk_size=4096)
+        rel = np.linalg.norm(img - want_img) / np.linalg.norm(want_img)
+        assert rel < _JITTER_TOL, (backend, rel)
+        rel_a = np.linalg.norm(ang - want_ang) / np.linalg.norm(want_ang)
+        assert rel_a < _JITTER_TOL, (backend, rel_a)
+
+
+def test_nonuniform_gain_seeded_pallas_matches_lax_exact():
+    p1 = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5, seeded=True,
+                           non_uniform_gain=0.4)
+    img_l, ang_l = create_image(p1, "lax-exact", chunk_size=4096)
+    p2 = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5, seeded=True,
+                           non_uniform_gain=0.4)
+    img_p, ang_p = create_image(p2, "pallas", chunk_size=4096)
+    assert np.linalg.norm(img_p - img_l) / max(np.linalg.norm(img_l), 1e-300) < _JITTER_TOL
+
+
 def test_over_envelope_gain_grid_falls_back():
     """A uniform grid whose channel tables exceed the pallas VMEM budget
     must resolve to lax-exact (never raise mid-call) -- for 'auto' AND for
