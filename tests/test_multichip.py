@@ -115,6 +115,21 @@ def test_sharded_nontrivial_stride_partition():
 
 
 @needs_mesh
+def test_sharded_nonuniform_gain_pallas():
+    """Non-uniform gain grids through the sharded pallas path: the
+    findindex-bisection kernel variant must shard exactly like the
+    uniform one (same fits_pallas envelope feeds both resolutions)."""
+    p1 = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5,
+                           non_uniform_gain=0.5)
+    img1, ang1 = create_image(p1, "lax-exact")
+    mesh = make_mesh(8)
+    p8 = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5,
+                           non_uniform_gain=0.5)
+    img8, ang8 = create_image_sharded(p8, mesh, "pallas", chunk_size=4096)
+    assert np.linalg.norm(img1 - img8) / np.linalg.norm(img1) < 2e-3
+
+
+@needs_mesh
 def test_sharded_mesh_sizes():
     """Any mesh size (including 1 = the no-MPI shim analogue) gives the
     same images."""
