@@ -127,6 +127,10 @@ def fits_pallas(gains: list[RayGain], use_emis: bool) -> bool:
     resolution can fall back to lax-exact instead of raising mid-call."""
     if any(g.Nx * g.Ny >= 2 ** 24 for g in gains):
         return False
+    # the y-mirror convention is compile-time in the kernel (no per-step
+    # selects in the hot loop); mixed per-segment conventions -> lax-exact
+    if len({bool(np.asarray(g.y)[0] >= 0) for g in gains[1:]} or {False}) > 1:
+        return False
     nonuniform = _is_nonuniform(gains)
     if nonuniform and any(g.Nx > TILE_LANES or g.Ny > TILE_LANES
                           for g in gains):

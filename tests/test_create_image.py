@@ -507,6 +507,21 @@ def test_nonuniform_gain_seeded_pallas_matches_lax_exact():
     assert np.linalg.norm(img_p - img_l) / max(np.linalg.norm(img_l), 1e-300) < _JITTER_TOL
 
 
+def test_mixed_y_mirror_falls_back():
+    """Mixed per-segment y-mirror conventions (one grid spanning negative
+    y among half-plane ones) are outside the pallas envelope (the mirror
+    flag is compile-time in the hot loop): backend resolution must fall
+    back to lax-exact instead of the kernel raising NotImplementedError."""
+    from raytrace_tpu.ops import pallas_kernel as pk
+
+    p = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5)
+    g = p.gain[1]
+    g.y = np.linspace(-2.45e-3, 2.45e-3, g.Ny)
+    assert not pk.fits_pallas(p.gain, True)
+    img, ang = create_image(p, "pallas", chunk_size=4096)  # no raise
+    assert np.all(np.isfinite(img))
+
+
 def test_over_envelope_gain_grid_falls_back():
     """A uniform grid whose channel tables exceed the pallas VMEM budget
     must resolve to lax-exact (never raise mid-call) -- for 'auto' AND for
