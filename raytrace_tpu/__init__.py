@@ -13,9 +13,27 @@ double buffers, so importing this package enables jax x64 mode; all
 performance-critical arrays declare explicit (mostly float32) dtypes.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# persistent XLA/Mosaic compilation cache: first-call compiles of the
+# pipelines cost 30-90 s (tunneled TPU); caching them on disk makes every
+# later process cold-start in seconds. Keyed on the HLO hash, so code
+# changes miss safely. Opt out with RAYTRACE_NO_COMPILE_CACHE=1 or point
+# elsewhere with RAYTRACE_COMPILE_CACHE_DIR.
+if os.environ.get("RAYTRACE_NO_COMPILE_CACHE") != "1":
+    _cache_dir = os.environ.get(
+        "RAYTRACE_COMPILE_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs: run uncached
+        pass
 
 from raytrace_tpu.io.loader import load_input, save_input, scale_problem  # noqa: E402
 from raytrace_tpu.models.ray_tracer import create_image  # noqa: E402
