@@ -32,6 +32,10 @@ if os.environ.get("RAYTRACE_NO_COMPILE_CACHE") != "1":
     try:
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # XLA:CPU AOT results embed host machine features and warn loudly
+        # (potential SIGILL) when loaded on a different host; the jax-level
+        # executable cache alone captures the 30-90 s Mosaic/XLA wins
+        jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     except Exception:  # older jax without the knobs: run uncached
         pass
 

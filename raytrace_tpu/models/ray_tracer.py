@@ -655,7 +655,9 @@ def prepare_pipeline(problem: CreateImageProblem,
 
     use_emis = problem.gain[0].E0 is not None and problem.seed is None
     from raytrace_tpu.ops import pallas_kernel as pk
-    pallas_ok = pk.fits_pallas(problem.gain, use_emis)
+    # the pallas kernel's per-segment outputs are zero-width at N <= 1 (no
+    # propagation segments); the lax tier handles that edge directly
+    pallas_ok = pk.fits_pallas(problem.gain, use_emis) and problem.N > 1
     fast_ok = fast_stepper.fits_fast(problem.gain)
     backend = _resolve_backend(compute_method, pallas_ok, fast_ok)
     timer_name += "-" + backend

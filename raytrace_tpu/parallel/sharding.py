@@ -128,7 +128,7 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
     dims = (src.nx, src.ny, src.na, src.nb)
     use_emis = problem.gain[0].E0 is not None and problem.seed is None
     from raytrace_tpu.ops import pallas_kernel as pk
-    pallas_ok = pk.fits_pallas(problem.gain, use_emis)
+    pallas_ok = pk.fits_pallas(problem.gain, use_emis) and problem.N > 1
     fast_ok = fast_stepper.fits_fast(problem.gain)
     backend = ray_tracer._resolve_backend(compute_method, pallas_ok, fast_ok)
     K = beam.nv

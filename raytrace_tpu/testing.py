@@ -65,8 +65,8 @@ def synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6, N=3, seeded=False,
     beam.z = np.linspace(0.0, 0.05 * (N - 1), max(N, 2))
     beam.dz = 0.05
     v0 = 1.76e16
-    beam.v, _ = _uniform_grid(v0 * 0.99998, v0 * 1.00002, nv)
-    beam.dv = np.full(nv, (beam.v[1] - beam.v[0]))
+    beam.v, dv0 = _uniform_grid(v0 * 0.99998, v0 * 1.00002, nv)
+    beam.dv = np.full(nv, dv0)
     beam.v0 = v0
     p.euv_beam = beam
 

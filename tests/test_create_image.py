@@ -187,11 +187,25 @@ def test_calc_ray_path_api():
 
 def test_single_segment_problem():
     """N=1 means no propagation segments: image is just the (zero) seedless
-    spectrum -- the pipeline must not crash on the empty-loop edge."""
-    p = synthetic_problem(N=1)
-    img, ang = create_image(p, "lax")
-    assert img.shape == (p.euv_beam.nx * p.euv_beam.ny * p.euv_beam.nv,)
-    assert np.all(img == 0.0) and np.all(ang == 0.0)
+    spectrum -- the pipeline must not crash on the empty-loop edge. A
+    'pallas' request falls back to the lax tier (the kernel's per-segment
+    outputs are zero-width at N<=1; found by fuzzing)."""
+    for method in ("lax", "pallas"):
+        p = synthetic_problem(N=1)
+        img, ang = create_image(p, method)
+        assert img.shape == (p.euv_beam.nx * p.euv_beam.ny * p.euv_beam.nv,)
+        assert np.all(img == 0.0) and np.all(ang == 0.0)
+
+
+def test_single_frequency_problem():
+    """nv=1 (K=1): degenerate spectrum axis through the whole pipeline
+    (generator crash at nv=1 found by fuzzing)."""
+    want_img, want_ang = _oracle_images(
+        synthetic_problem(nx=2, ny=2, na=2, nb=2, nv=1), 1)
+    img, ang = create_image(
+        synthetic_problem(nx=2, ny=2, na=2, nb=2, nv=1), "lax",
+        chunk_size=1024)
+    assert np.linalg.norm(img - want_img) / np.linalg.norm(want_img) < _JITTER_TOL
 
 
 def test_reference_method_aliases():
