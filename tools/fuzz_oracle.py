@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Randomized end-to-end fuzz: synthetic problems vs the scalar oracle.
+
+Generates random create_image work units across the capability envelope
+(edge-sized axes, N in [1, N_MAX], seeded/full-plane/non-uniform/warped
+grids) and checks every backend's image against a brute-force oracle
+deposit. This is how the N=1 pallas crash and the nv=1 generator crash
+were found (round 3); run it after touching the stepper, binning, or
+backend-resolution code.
+
+Usage:
+    python tools/fuzz_oracle.py [n_random] [seed] [--sharded]
+
+Runs the curated edge cases plus ``n_random`` random configs (default 8).
+With ``--sharded`` every case additionally runs through
+``create_image_sharded`` on a virtual 8-device CPU mesh (the multi-chip
+path the driver's dryrun exercises). Exit code = number of
+mismatches/crashes.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHARDED = "--sharded" in sys.argv
+if SHARDED:
+    # the virtual-device flag must be in place before the backend initializes
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+if SHARDED or jax.default_backend() != "tpu":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+from raytrace_tpu import create_image  # noqa: E402
+from raytrace_tpu.ops import oracle  # noqa: E402
+from raytrace_tpu.testing import synthetic_problem  # noqa: E402
+
+#: image-norm tolerance: plain-python IEEE f32 oracle vs XLA f32 backends,
+#: amplified by trajectory chaos (see tests/test_create_image.py)
+TOL = 5e-3
+
+CURATED = [
+    dict(nx=1, ny=2, na=2, nb=2, nv=2),
+    dict(nx=3, ny=1, na=2, nb=2, nv=2),
+    dict(nx=3, ny=2, na=1, nb=1, nv=3),
+    dict(nx=2, ny=2, na=2, nb=2, nv=1),
+    dict(nx=4, ny=3, na=3, nb=2, nv=2, N=2),
+    dict(nx=4, ny=3, na=3, nb=2, nv=2, N=1),
+    dict(nx=4, ny=3, na=2, nb=2, nv=2, seeded=True, N=2),
+    dict(nx=3, ny=2, na=2, nb=2, nv=2, seeded=True, full_plane=True),
+    dict(nx=3, ny=2, na=2, nb=2, nv=3, non_uniform_gain=0.8),
+    dict(nx=3, ny=2, na=2, nb=2, nv=2, seeded=True, non_uniform_gain=True),
+    dict(nx=4, ny=2, na=2, nb=2, nv=2, full_plane=True, N=5),
+    dict(nx=3, ny=3, na=2, nb=2, nv=2, seeded=True, refraction_free=True,
+         seed_dim=5),
+]
+
+
+def oracle_images(p, method):
+    """Brute-force reference deposit (same as the test suite's helper)."""
+    b = p.euv_beam
+    src = p.seed_beam if method == 2 else b
+    scale = 1.0 if method == 1 else (
+        (src.dx * src.dy * src.da * src.db) / (b.dx * b.dy))
+    image = np.zeros(b.nx * b.ny * b.nv)
+    i_ang = np.zeros(b.na * b.nb)
+
+    def gi(grid, d, y):
+        if y < grid[0] - 0.5 * d or y > grid[-1] + 0.5 * d:
+            return -1
+        return oracle.find_first_single(grid, y - 0.5 * d)
+
+    for i in range(src.nx):
+        for j in range(src.ny):
+            for k in range(src.na):
+                for m in range(src.nb):
+                    ray = (np.float32(src.x[i]), np.float32(src.y[j]),
+                           np.float32(src.a[k]), np.float32(src.b[m]))
+                    res = oracle.calc_ray(
+                        ray, p.N, b.dz, p.gain,
+                        p.seed if method == 2 else None, b.nv, method)
+                    if res.error != 0:
+                        return None, None  # failure-path config
+                    if method == 1:
+                        bx, by, ba, bb_ = ray
+                    else:
+                        bx, by = res.ray_out[0], res.ray_out[1]
+                        ba, bb_ = -res.ray_out[2], -res.ray_out[3]
+                        if by < 0 and b.y[0] >= 0:
+                            by = -by
+                    i1 = gi(b.x, b.dx, bx)
+                    i2 = gi(b.y, b.dy, by)
+                    i3 = gi(b.a, b.da, ba)
+                    i4 = gi(b.b, b.db, bb_)
+                    if i1 >= 0 and i2 >= 0:
+                        base = b.nv * (i1 + i2 * b.nx)
+                        image[base:base + b.nv] += res.Iv * scale
+                    if i3 >= 0 and i4 >= 0:
+                        i_ang[i3 + i4 * b.na] += float(
+                            np.sum(2.0 * b.dv * res.Iv))
+    return image, i_ang
+
+
+def random_config(rng):
+    kw = dict(nx=int(rng.integers(1, 6)), ny=int(rng.integers(1, 5)),
+              na=int(rng.integers(1, 5)), nb=int(rng.integers(1, 4)),
+              nv=int(rng.integers(1, 6)), N=int(rng.integers(1, 8)))
+    if rng.random() < 0.4:
+        kw["seeded"] = True
+        kw["seed_dim"] = int(rng.integers(5, 25))
+    if rng.random() < 0.3:
+        kw["full_plane"] = True
+    r = rng.random()
+    if r < 0.25:
+        kw["non_uniform_gain"] = True
+    elif r < 0.5:
+        kw["non_uniform_gain"] = float(rng.uniform(0.2, 1.0))
+    if rng.random() < 0.3:
+        kw["refraction_free"] = True
+    return kw
+
+
+def run_case(ci, kw):
+    method = 2 if kw.get("seeded") else 1
+    bad = 0
+    try:
+        p = synthetic_problem(rng=ci, **kw)
+        if p.N > 5:
+            # keep long paths in f32 spectrum range (saturated regime)
+            for g in p.gain:
+                g.g0 = (np.asarray(g.g0) * np.float32(0.25)).astype(
+                    np.float32)
+        want_img, _ = oracle_images(p, method)
+        if want_img is None:
+            print(f"  [{ci}] {kw} -> failure-path config, skipped")
+            return 0
+        backends = [("lax", False), ("lax-exact", False), ("pallas", False)]
+        if SHARDED:
+            backends += [("lax", True), ("pallas", True)]
+        for backend, sharded in backends:
+            p2 = synthetic_problem(rng=ci, **kw)
+            if p2.N > 5:
+                for g in p2.gain:
+                    g.g0 = (np.asarray(g.g0) * np.float32(0.25)).astype(
+                        np.float32)
+            if sharded:
+                from raytrace_tpu.parallel.mesh import make_mesh
+                from raytrace_tpu.parallel.sharding import create_image_sharded
+                mesh = make_mesh(min(8, len(jax.devices())))
+                img, _ = create_image_sharded(p2, mesh, backend,
+                                              chunk_size=1024)
+            else:
+                img, _ = create_image(p2, backend, chunk_size=1024)
+            n0 = np.linalg.norm(want_img)
+            d = np.linalg.norm(img - want_img) / max(n0, 1e-300)
+            if not (d < TOL or (n0 == 0 and np.linalg.norm(img) == 0)):
+                tag = f"{backend}+sharded" if sharded else backend
+                print(f"  MISMATCH [{ci}] {tag} {kw} rel={d:.2e}")
+                bad += 1
+    except Exception as e:
+        print(f"  CRASH [{ci}] {kw} -> {type(e).__name__}: {str(e)[:160]}")
+        bad += 1
+    return bad
+
+
+def main():
+    n_random = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    rng = np.random.default_rng(seed)
+    cases = list(CURATED) + [random_config(rng) for _ in range(n_random)]
+    bad = 0
+    for ci, kw in enumerate(cases):
+        bad += run_case(ci, kw)
+    print(f"fuzz done: {len(cases)} cases, {bad} problems")
+    return bad
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
