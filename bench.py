@@ -15,6 +15,10 @@ Also reported:
   tunneled device link the gates routinely fail for a 0.15 s call (30-150 ms
   of link weather per dispatch, see ROADMAP.md); the booleans are recorded
   honestly alongside the best/median machine-capability numbers.
+* ``ase_stream_*``: serving-mode throughput via ``create_image_stream``
+  (two calls in flight: upload/compute/readback overlapped across calls,
+  distinct tables per call). Separate from the headline because the
+  reference protocol times synchronous calls.
 * ``seed_small_*``: the seeded workload (7.8M rays).
 * ``scale16_*``: the ASE_medium proxy (-scale=16 => 6.384M rays,
   Readme.txt:47-49 protocol via scale_problem). The embedded golden only
@@ -82,6 +86,48 @@ def main():
 
     ok = check_ans(image0, i_ang0, out["img"], out["ang"], verbose=False)
 
+    # serving-mode throughput: create_image_stream keeps two calls in
+    # flight, overlapping call k+1's table upload with call k's compute and
+    # call k's readback with call k+1's compute. Measured separately from
+    # the headline (the reference protocol times synchronous calls). Every
+    # streamed call gets distinct gain tables so no result cache can serve
+    # a measurement (and matching the production "tables change every
+    # iteration" semantics, Readme.txt:43).
+    stream_stats = {}
+    try:
+        import numpy as np
+
+        from raytrace_tpu import create_image_stream
+
+        def _stream_problems(n, salt):
+            probs = []
+            for i in range(n):
+                pp, _, _ = load_input(REFERENCE_INPUT)
+                f = np.float32(1.0 + 1e-5 * (salt * n + i + 1))
+                for g in pp.gain:
+                    g.g0 = (np.asarray(g.g0, np.float32) * f).astype(
+                        np.float32)
+                probs.append(pp)
+            return probs
+
+        for _ in create_image_stream(_stream_problems(2, 99), method):
+            pass  # warmup
+        per_call = []
+        for r in range(3):
+            probs = _stream_problems(6, r)
+            t0 = time.perf_counter()
+            for _ in create_image_stream(probs, method):
+                pass
+            per_call.append((time.perf_counter() - t0) / len(probs))
+        stream_stats = {
+            "ase_stream_rays_per_sec": round(n_rays / min(per_call), 1),
+            "ase_stream_best_seconds_per_call": round(min(per_call), 4),
+            "ase_stream_median_seconds_per_call": round(
+                sorted(per_call)[len(per_call) // 2], 4),
+        }
+    except Exception as e:  # never let the extra metric kill the headline
+        stream_stats = {"ase_stream_error": repr(e)}
+
     # auxiliary: the seeded workload (7.8M rays). Full reference protocol
     # like ASE: 9 timed calls, Avg/StdDev + the stability gates
     # (src/CreateImage.cpp:166-183).
@@ -104,6 +150,36 @@ def main():
             "seed_small_golden_check": bool(
                 check_ans(simg0, sang0, simg, sang, verbose=False)),
         }
+        # serving-mode throughput, seeded (same protocol as ase_stream_*)
+        try:
+            import numpy as np
+
+            from raytrace_tpu import create_image_stream
+
+            def _seed_problems(n, salt):
+                probs = []
+                for i in range(n):
+                    pp, _, _ = load_input(SEED_INPUT)
+                    f = np.float32(1.0 + 1e-5 * (salt * n + i + 1))
+                    for g in pp.gain:
+                        g.g0 = (np.asarray(g.g0, np.float32) * f).astype(
+                            np.float32)
+                    probs.append(pp)
+                return probs
+
+            per_call = []
+            for r in range(2):
+                probs = _seed_problems(3, r)
+                t0 = time.perf_counter()
+                for _ in create_image_stream(probs, method):
+                    pass
+                per_call.append((time.perf_counter() - t0) / len(probs))
+            seed_stats.update({
+                "seed_stream_rays_per_sec": round(7803000 / min(per_call), 1),
+                "seed_stream_best_seconds_per_call": round(min(per_call), 4),
+            })
+        except Exception as e:
+            seed_stats["seed_stream_error"] = repr(e)
 
     # ASE_medium proxy: -scale=16 (6.384M rays). Golden at scale!=1 is a
     # cross-backend check: lax result is the golden for the pallas image.
@@ -147,6 +223,7 @@ def main():
         "stability_ok": bool(stability_ok(stats)),
         "golden_check": bool(ok),
         "method": method,
+        **stream_stats,
         **seed_stats,
         **scale16_stats,
     }

@@ -3,6 +3,8 @@
 Public API surface mirroring ``src/RayTrace.h``:
 
 * :func:`create_image`   -- near-field + far-field image from a work unit
+* :func:`create_image_stream` -- overlapped executor over independent work
+  units (serving mode; no reference analogue)
 * :func:`calc_ray`       -- single-ray propagation (diagnostic)
 * :func:`calc_ray_path`  -- ray trajectories + running intensity (diagnostic)
 * :func:`calc_seed`      -- seed spectrum at a phase-space point
@@ -40,12 +42,14 @@ if os.environ.get("RAYTRACE_NO_COMPILE_CACHE") != "1":
         pass
 
 from raytrace_tpu.io.loader import load_input, save_input, scale_problem  # noqa: E402
-from raytrace_tpu.models.ray_tracer import create_image  # noqa: E402
+from raytrace_tpu.models.ray_tracer import (  # noqa: E402
+    create_image, create_image_stream)
 from raytrace_tpu.api import calc_ray, calc_ray_path, calc_seed  # noqa: E402
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "create_image", "calc_ray", "calc_ray_path", "calc_seed",
+    "create_image", "create_image_stream",
+    "calc_ray", "calc_ray_path", "calc_seed",
     "load_input", "save_input", "scale_problem",
 ]

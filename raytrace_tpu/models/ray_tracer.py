@@ -39,7 +39,8 @@ from raytrace_tpu.structures import CreateImageProblem
 from raytrace_tpu.utils import errors as err_util
 from raytrace_tpu.utils.timer import profiler
 
-__all__ = ["create_image", "prepare_pipeline", "PreparedCall",
+__all__ = ["create_image", "create_image_stream", "prepare_pipeline",
+           "PreparedCall",
            "generate_ray_indices", "available_methods",
            "BACKENDS", "N_MAX", "K_MAX"]
 
@@ -812,19 +813,32 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     except Exception:
         profiler.stop("create_image")
         raise
+
+    profiler.start(prep.timer_name)
+    outs = prep.pipeline(*prep.operands)
+    try:
+        return _finalize_call(problem, prep, outs, failed_ray_path)
+    finally:
+        profiler.stop(prep.timer_name)
+        profiler.stop("create_image")
+
+
+def _finalize_call(problem: CreateImageProblem, prep: PreparedCall, outs,
+                   failed_ray_path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Blocking tail of a dispatched call: readback, failure path, layout
+    fixup, store on the problem. Shared by :func:`create_image` and
+    :func:`create_image_stream`."""
     cfg = prep.cfg
     beam = problem.euv_beam
     src = problem.seed_beam if problem.seed is not None else beam
     method, dims, dense = cfg["method"], cfg["dims"], cfg["dense"]
     K, nx, ny = cfg["K"], beam.nx, beam.ny
 
-    profiler.start(prep.timer_name)
-    image_d, iang_d, fail_acc, codes_all = prep.pipeline(*prep.operands)
+    image_d, iang_d, fail_acc, codes_all = outs
     # single blocking readback (each separate device->host fetch pays a
     # link round trip on tunneled devices)
     image, i_ang, fail_bits = jax.device_get((image_d, iang_d, fail_acc))
     fail_bits = int(fail_bits)
-    profiler.stop(prep.timer_name)
 
     # failure path (RayTraceImage.cpp:427-430)
     if fail_bits != 0:
@@ -841,7 +855,6 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         err_util.write_failures(failed_ray_path, fail_bits,
                                 np.array(failed_rays), method, problem.N,
                                 beam.dz, problem.gain)
-        profiler.stop("create_image")
         raise err_util.RayTraceError("Some rays failed")
 
     if dense:
@@ -854,5 +867,50 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
     i_ang_np = i_ang
     problem.image = image_np
     problem.I_ang = i_ang_np
-    profiler.stop("create_image")
     return image_np, i_ang_np
+
+
+def create_image_stream(problems, compute_method: str = "auto",
+                        chunk_size: int | None = None,
+                        spectrum_dtype=jnp.float32, c: float = 0.5,
+                        deposit: str = "auto", depth: int = 2,
+                        failed_ray_path: str = "Failed_RayTrace_rays.dat"):
+    """Overlapped execution over a sequence of independent work units.
+
+    Yields ``(image, I_ang)`` per problem, exactly as :func:`create_image`
+    would return for each -- same fresh-table upload per call (the
+    reference's per-call re-upload semantics, Readme.txt:43), same failure
+    path, same layouts. Throughput improves because up to ``depth`` calls
+    are in flight: call k+1's host-side packing and table upload ride the
+    device link while call k computes, and call k's image readback overlaps
+    call k+1's compute (JAX dispatch is asynchronous; the only blocking
+    point is each call's readback, taken one call behind the dispatch
+    front).
+
+    The reference harness has no analogue -- it times synchronous calls
+    (src/CreateImage.cpp:147-153) -- so bench.py's headline numbers remain
+    synchronous; this is the serving-mode executor for *independent* work
+    units (parameter scans, snapshot batches). ``depth`` bounds in-flight
+    device memory (each in-flight call holds its tables + outputs; the
+    default 2 = classic double buffering).
+    """
+    if depth < 1:
+        raise err_util.RayTraceError("create_image_stream needs depth >= 1")
+    from collections import deque
+
+    in_flight = deque()
+    profiler.start("create_image_stream")
+    try:
+        for problem in problems:
+            prep = prepare_pipeline(problem, compute_method, chunk_size,
+                                    spectrum_dtype, c, deposit)
+            outs = prep.pipeline(*prep.operands)   # asynchronous dispatch
+            in_flight.append((problem, prep, outs))
+            if len(in_flight) > depth:
+                p, pr, o = in_flight.popleft()
+                yield _finalize_call(p, pr, o, failed_ray_path)
+        while in_flight:
+            p, pr, o = in_flight.popleft()
+            yield _finalize_call(p, pr, o, failed_ray_path)
+    finally:
+        profiler.stop("create_image_stream")

@@ -592,3 +592,62 @@ def test_full_plane_seeded_pallas_matches_lax():
                            full_plane=True)
     img_p, ang_p = create_image(p2, "pallas")
     assert np.linalg.norm(img_p - img_l) / max(np.linalg.norm(img_l), 1e-300) < _JITTER_TOL
+
+
+def test_stream_matches_per_call():
+    """create_image_stream yields exactly what per-call create_image returns
+    for each work unit (mixed ASE/seeded, distinct tables per call), in
+    order, and stores results on each problem."""
+    from raytrace_tpu import create_image_stream
+
+    def make(i):
+        seeded = i % 2 == 1
+        p = synthetic_problem(nx=5, ny=4, na=3, nb=3, nv=4, seeded=seeded,
+                              rng=100 + i)
+        return p
+
+    want = []
+    for i in range(4):
+        p = make(i)
+        want.append(create_image(p, "lax", chunk_size=2048))
+
+    probs = [make(i) for i in range(4)]
+    got = list(create_image_stream(probs, "lax", chunk_size=2048))
+    assert len(got) == 4
+    for i, ((gi, ga), (wi, wa)) in enumerate(zip(got, want)):
+        assert np.array_equal(gi, wi), i
+        assert np.array_equal(ga, wa), i
+        assert np.array_equal(probs[i].image, wi)
+        assert np.array_equal(probs[i].I_ang, wa)
+
+
+def test_stream_depth_one_and_empty():
+    from raytrace_tpu import create_image_stream
+
+    assert list(create_image_stream([], "lax")) == []
+    p = synthetic_problem(nx=5, ny=4, na=3, nb=3, nv=4, rng=3)
+    want_img, want_ang = create_image(
+        synthetic_problem(nx=5, ny=4, na=3, nb=3, nv=4, rng=3), "lax",
+        chunk_size=2048)
+    (img, ang), = create_image_stream([p], "lax", chunk_size=2048, depth=1)
+    assert np.array_equal(img, want_img) and np.array_equal(ang, want_ang)
+    with pytest.raises(RayTraceError):
+        list(create_image_stream([p], depth=0))
+
+
+def test_stream_failure_propagates(tmp_path):
+    """A failing call surfaces at its yield position; earlier results are
+    still delivered (the stream is lazy -- consume to dispatch)."""
+    from raytrace_tpu import create_image_stream
+
+    good = synthetic_problem(nx=5, ny=4, na=3, nb=3, nv=4, rng=1)
+    bad = synthetic_problem(nx=5, ny=4, na=3, nb=3, nv=4, rng=2)
+    bad.euv_beam.a = bad.euv_beam.a + 1500.0  # s_z^2 < 0.01 -> error -1
+    dump = tmp_path / "failed.dat"
+    gen = create_image_stream([good, bad], "lax", chunk_size=2048,
+                              failed_ray_path=str(dump))
+    img, ang = next(gen)
+    assert np.isfinite(img).all()
+    with pytest.raises(RayTraceError):
+        list(gen)
+    assert dump.exists() and dump.stat().st_size > 0
