@@ -12,6 +12,17 @@ Usage (mirrors the reference flags, Readme.txt:42-59 / CreateImageHelpers.h:50-9
       -scale=S                   problem-size scale factor (default 1.0)
       -multichip                 also run the mesh-sharded path
       -spectrum=f64|f32          amplification precision (default f64)
+      -stream=N                  also benchmark serving-mode throughput:
+                                 N independent work units (distinct gain
+                                 tables per call, like production
+                                 iterations) through create_image_stream,
+                                 which overlaps call k+1's table upload
+                                 with call k's compute. Reported as an
+                                 extra "<method>+stream" row (per-call
+                                 seconds = pass wall time / N); no golden
+                                 row (the tables are perturbed per call).
+                                 No reference analogue -- its harness
+                                 times synchronous calls.
       -nprocs=P                  replicated multi-process benchmark: spawn a
                                  local P-process group (the ``mpirun -np P``
                                  workstation analogue, Readme.txt:43). Each
@@ -67,6 +78,7 @@ class Options:
         self.multichip = False
         self.spectrum = "f32"
         self.nprocs = 1
+        self.stream = 0
         self.files: list[str] = []
         for arg in argv:
             if arg.startswith("-methods="):
@@ -81,6 +93,8 @@ class Options:
                 self.spectrum = arg.split("=", 1)[1]
             elif arg.startswith("-nprocs="):
                 self.nprocs = int(arg.split("=", 1)[1])
+            elif arg.startswith("-stream="):
+                self.stream = int(arg.split("=", 1)[1])
             elif arg.startswith("-"):
                 raise SystemExit(f"Unknown option: {arg}")
             else:
@@ -129,6 +143,33 @@ def run_tests(filename: str, options: Options) -> int:
             if not check_ans(image0, i_ang0, image, i_ang):
                 n_errors += 1
         n_errors += stability_errors(stats)
+
+        if options.stream > 0:
+            from raytrace_tpu.models.ray_tracer import create_image_stream
+
+            def _stream_units(n, salt):
+                units = []
+                for i in range(n):
+                    u, _, _ = load_input(filename, options.scale)
+                    f = np.float32(1.0 + 1e-5 * (salt * n + i + 1))
+                    for g in u.gain:
+                        g.g0 = (np.asarray(g.g0, np.float32) * f).astype(
+                            np.float32)
+                    units.append(u)
+                return units
+
+            per_call = []
+            for r in range(2):  # two passes -> a min and a spread
+                units = _stream_units(options.stream, r)
+                t0 = time.perf_counter()
+                for s_img, s_ang in create_image_stream(
+                        units, method, spectrum_dtype=sdtype):
+                    if not (np.isfinite(s_img).all()
+                            and np.isfinite(s_ang).all()):
+                        n_errors += 1
+                per_call.append((time.perf_counter() - t0) / len(units))
+            rows.append((f"{method}+stream",
+                         TimingStats.of(_gather_times(per_call))))
 
     if multichip:
         from raytrace_tpu.parallel.mesh import make_mesh

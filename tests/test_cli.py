@@ -120,3 +120,13 @@ def test_cli_multichip_flag(golden_file, capsys):
     out = capsys.readouterr().out
     assert "multichip[8]" in out, out
     assert "Answers do not match" not in out
+
+
+def test_cli_stream_row(golden_file, capsys):
+    """-stream=N adds a "<method>+stream" serving-mode row; the synchronous
+    golden gate still runs and passes."""
+    rc = cli.main(["-methods=lax", "-iterations=1", "-stream=3", golden_file])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "lax+stream" in out
+    assert "All tests passed" in out
