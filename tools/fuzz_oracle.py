@@ -55,11 +55,17 @@ def tol_for(N: int) -> float:
     return TOL * max(1.0, (N - 1) / 2.0)
 
 
-#: pairwise cross-backend tolerance: all backends share XLA's arithmetic,
-#: so they must agree far more tightly than any of them agrees with the
-#: oracle (measured ~1e-7 even on the N=7 jitter case). This is the real
-#: regression detector; the oracle check anchors absolute correctness.
+#: pairwise cross-backend tolerance WITHIN a stepping family: lax and
+#: pallas share the fast stepper's micro-step decisions (and the sharded
+#: wrappers change only the deposit), so they agree to ~1e-7 even on the
+#: N=7 jitter case. lax-exact follows the oracle's stepping instead, so
+#: exact-vs-fast pairs carry the same trip-count-jitter budget as the
+#: oracle check (measured: 1.46e-4 on a 16-ray seeded N=4 case).
 TOL_XBACKEND = 1e-4
+
+
+def _family(tag: str) -> str:
+    return "exact" if tag.startswith("lax-exact") else "fast"
 
 CURATED = [
     dict(nx=1, ny=2, na=2, nb=2, nv=2),
@@ -187,8 +193,10 @@ def run_case(ci, kw):
         for i, ta in enumerate(tags):
             na = np.linalg.norm(got[ta])
             for tb in tags[i + 1:]:
+                tol = (TOL_XBACKEND if _family(ta) == _family(tb)
+                       else tol_for(p.N))
                 d = np.linalg.norm(got[ta] - got[tb]) / max(na, 1e-300)
-                if not (d < TOL_XBACKEND or (na == 0 and np.linalg.norm(
+                if not (d < tol or (na == 0 and np.linalg.norm(
                         got[tb]) == 0)):
                     print(f"  XBACKEND [{ci}] {ta} vs {tb} {kw} "
                           f"rel={d:.2e}")
