@@ -212,6 +212,39 @@ def main():
             "scale16_stability_ok": bool(stability_ok(s16)),
             "scale16_cross_backend_check": bool(sanity),
         }
+        # serving-mode throughput at ASE_medium scale (same distinct-tables
+        # protocol as the other stream rows)
+        try:
+            import numpy as np
+
+            from raytrace_tpu import create_image_stream
+
+            def _s16_problems(n, salt):
+                probs = []
+                for i in range(n):
+                    pp, _, _ = load_input(REFERENCE_INPUT)
+                    scale_problem(pp, 16.0)
+                    f = np.float32(1.0 + 1e-5 * (salt * n + i + 1))
+                    for g in pp.gain:
+                        g.g0 = (np.asarray(g.g0, np.float32) * f).astype(
+                            np.float32)
+                    probs.append(pp)
+                return probs
+
+            per_call = []
+            for r in range(2):
+                probs = _s16_problems(4, r)
+                t0 = time.perf_counter()
+                for _ in create_image_stream(probs, method):
+                    pass
+                per_call.append((time.perf_counter() - t0) / len(probs))
+            scale16_stats.update({
+                "scale16_stream_rays_per_sec": round(n16 / min(per_call), 1),
+                "scale16_stream_best_seconds_per_call": round(
+                    min(per_call), 4),
+            })
+        except Exception as e:
+            scale16_stats["scale16_stream_error"] = repr(e)
     except Exception as e:  # never let the proxy kill the headline number
         scale16_stats = {"scale16_error": repr(e)}
 
