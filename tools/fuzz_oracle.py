@@ -9,13 +9,15 @@ were found (round 3); run it after touching the stepper, binning, or
 backend-resolution code.
 
 Usage:
-    python tools/fuzz_oracle.py [n_random] [seed] [--sharded]
+    python tools/fuzz_oracle.py [n_random] [seed] [--sharded] [--stream]
 
 Runs the curated edge cases plus ``n_random`` random configs (default 8).
 With ``--sharded`` every case additionally runs through
 ``create_image_sharded`` on a virtual 8-device CPU mesh (the multi-chip
-path the driver's dryrun exercises). Exit code = number of
-mismatches/crashes.
+path the driver's dryrun exercises). With ``--stream`` every case also
+goes through ``create_image_stream`` interleaved with a second in-flight
+problem and must match per-call ``create_image`` bitwise. Exit code =
+number of mismatches/crashes.
 """
 
 import os
@@ -24,6 +26,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SHARDED = "--sharded" in sys.argv
+STREAM = "--stream" in sys.argv
 if SHARDED:
     # the virtual-device flag must be in place before the backend initializes
     flags = os.environ.get("XLA_FLAGS", "")
@@ -148,6 +151,38 @@ def random_config(rng):
     return kw
 
 
+#: fixed second problem interleaved into every --stream check; its sync
+#: result is computed once and must come back bitwise from the executor
+_ALT_KW = dict(nx=3, ny=2, na=2, nb=2, nv=2)
+_ALT_SYNC = []
+
+
+def _check_stream(ci, kw, scale_g0, want_lax):
+    """The serving-mode executor (create_image_stream) shares the sync
+    pipeline code, so with identical inputs it must yield bitwise-equal
+    images -- both for the case's own problem and for a second in-flight
+    problem interleaved behind it (depth=2 overlap)."""
+    from raytrace_tpu import create_image_stream
+    p = synthetic_problem(rng=ci, **kw)
+    if scale_g0:
+        for g in p.gain:
+            g.g0 = (np.asarray(g.g0) * np.float32(0.25)).astype(np.float32)
+    alt = synthetic_problem(rng=4242, **_ALT_KW)
+    if not _ALT_SYNC:
+        _ALT_SYNC.append(create_image(
+            synthetic_problem(rng=4242, **_ALT_KW), "lax", chunk_size=1024))
+    outs = list(create_image_stream([p, alt], "lax", chunk_size=1024))
+    bad = 0
+    if not np.array_equal(np.asarray(outs[0][0]).reshape(-1), want_lax):
+        print(f"  STREAM [{ci}] case image != sync lax {kw}")
+        bad += 1
+    if not (np.array_equal(outs[1][0], _ALT_SYNC[0][0])
+            and np.array_equal(outs[1][1], _ALT_SYNC[0][1])):
+        print(f"  STREAM [{ci}] interleaved alt problem != its sync result")
+        bad += 1
+    return bad
+
+
 def run_case(ci, kw):
     method = 2 if kw.get("seeded") else 1
     bad = 0
@@ -201,6 +236,8 @@ def run_case(ci, kw):
                     print(f"  XBACKEND [{ci}] {ta} vs {tb} {kw} "
                           f"rel={d:.2e}")
                     bad += 1
+        if STREAM:
+            bad += _check_stream(ci, kw, p.N > 5, got["lax"])
     except Exception as e:
         print(f"  CRASH [{ci}] {kw} -> {type(e).__name__}: {str(e)[:160]}")
         bad += 1
@@ -208,8 +245,9 @@ def run_case(ci, kw):
 
 
 def main():
-    n_random = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_random = int(pos[0]) if len(pos) > 0 else 8
+    seed = int(pos[1]) if len(pos) > 1 else 0
     rng = np.random.default_rng(seed)
     cases = list(CURATED) + [random_config(rng) for _ in range(n_random)]
     bad = 0
