@@ -40,11 +40,19 @@ BASELINE_RAYS_PER_SEC = 399000 / 1.793   # reference CPU binary on this host
 SEED_BASELINE_RAYS_PER_SEC = 7803000 / 25.261
 
 
-def _time_calls(fn, n):
+def _time_perturbed(create_image, path, method, n, salt, scale=None):
+    """Time n synchronous create_image calls, each on a distinct-tables
+    copy of the snapshot (the result-cache-proof protocol; see
+    testing.perturbed_problems). Host parse/scale happens outside the
+    timed region; the per-call table pack + upload stays inside, matching
+    the reference protocol."""
+    from raytrace_tpu.testing import perturbed_problems
+
+    probs = perturbed_problems(path, n, salt=salt, scale=scale)
     times = []
-    for _ in range(n):
+    for p in probs:
         t0 = time.perf_counter()
-        fn()
+        create_image(p, method)
         times.append(time.perf_counter() - t0)
     return times
 
@@ -63,28 +71,23 @@ def main():
     problem, image0, i_ang0 = load_input(REFERENCE_INPUT)
     n_rays = 399000
 
-    # warmup (JIT compile)
+    # warmup (JIT compile); the golden gate runs on the pristine problem
     image, i_ang = create_image(problem, method)
     create_image(problem, method)
+    ok = check_ans(image0, i_ang0, image, i_ang, verbose=False)
 
     # best of 9: the tunneled device link adds 30-150 ms of weather per call
     # (measured; whole windows degrade, so no central estimate is stable for
     # a 0.15 s call). Every call does the full protocol work -- host->device
-    # table upload, compute, device->host image readback -- so the minimum is
-    # the machine-capability number; avg/median and the reference stability
-    # gates are reported alongside.
-    out = {}
-
-    def _call():
-        out["img"], out["ang"] = create_image(problem, method)
-
-    times = _time_calls(_call, 9)
+    # table upload, compute, device->host image readback -- on a
+    # distinct-tables copy (so the tunnel's whole-jit result cache can never
+    # serve a timed call); the minimum is the machine-capability number,
+    # avg/median and the reference stability gates alongside.
+    times = _time_perturbed(create_image, REFERENCE_INPUT, method, 9, salt=17)
     stats = TimingStats.of(times)
     best = min(times)
     median = sorted(times)[len(times) // 2]
     rays_per_sec = n_rays / best
-
-    ok = check_ans(image0, i_ang0, out["img"], out["ang"], verbose=False)
 
     # serving-mode throughput: create_image_stream keeps two calls in
     # flight, overlapping call k+1's table upload with call k's compute and
@@ -95,32 +98,22 @@ def main():
     # iteration" semantics, Readme.txt:43).
     stream_stats = {}
     try:
-        import numpy as np
-
         from raytrace_tpu import create_image_stream
+        from raytrace_tpu.testing import perturbed_problems
 
-        def _stream_problems(n, salt):
-            probs = []
-            for i in range(n):
-                pp, _, _ = load_input(REFERENCE_INPUT)
-                f = np.float32(1.0 + 1e-5 * (salt * n + i + 1))
-                for g in pp.gain:
-                    g.g0 = (np.asarray(g.g0, np.float32) * f).astype(
-                        np.float32)
-                probs.append(pp)
-            return probs
-
-        for _ in create_image_stream(_stream_problems(2, 99), method):
+        for _ in create_image_stream(
+                perturbed_problems(REFERENCE_INPUT, 2, salt=99), method):
             pass  # warmup
         per_call = []
         for r in range(3):
-            probs = _stream_problems(6, r)
+            probs = perturbed_problems(REFERENCE_INPUT, 6, salt=r)
             t0 = time.perf_counter()
-            # depth=3 for short ASE-class calls: one extra call in flight
-            # rides out single-dispatch link-weather spikes (measured A/B:
-            # d3 <= d2 every round, best 0.067 vs 0.069; seeded is
-            # compute-bound and indifferent, so only ASE uses it)
-            for _ in create_image_stream(probs, method, depth=3):
+            # depth=4 for short ASE-class calls: extra calls in flight ride
+            # out single-dispatch link-weather spikes (measured A/B at 3 vs
+            # 4 in flight: 4 <= 3 every round, best 0.067 vs 0.069; seeded
+            # is compute-bound and indifferent, so only ASE goes deeper
+            # than the default double buffering)
+            for _ in create_image_stream(probs, method, depth=4):
                 pass
             per_call.append((time.perf_counter() - t0) / len(probs))
         stream_stats = {
@@ -138,11 +131,10 @@ def main():
     seed_stats = {}
     if os.path.exists(SEED_INPUT):
         sp, simg0, sang0 = load_input(SEED_INPUT)
-        simg, sang = create_image(sp, method)
-        st = _time_calls(lambda: create_image(sp, method), 9)
+        simg, sang = create_image(sp, method)  # warmup + golden source
+        st = _time_perturbed(create_image, SEED_INPUT, method, 9, salt=23)
         sstats = TimingStats.of(st)
         savg = min(st)
-        simg, sang = sp.image, sp.I_ang
         seed_stats = {
             "seed_small_rays_per_sec": round(7803000 / savg, 1),
             "seed_small_vs_baseline": round(
@@ -156,24 +148,12 @@ def main():
         }
         # serving-mode throughput, seeded (same protocol as ase_stream_*)
         try:
-            import numpy as np
-
             from raytrace_tpu import create_image_stream
-
-            def _seed_problems(n, salt):
-                probs = []
-                for i in range(n):
-                    pp, _, _ = load_input(SEED_INPUT)
-                    f = np.float32(1.0 + 1e-5 * (salt * n + i + 1))
-                    for g in pp.gain:
-                        g.g0 = (np.asarray(g.g0, np.float32) * f).astype(
-                            np.float32)
-                    probs.append(pp)
-                return probs
+            from raytrace_tpu.testing import perturbed_problems
 
             per_call = []
             for r in range(2):
-                probs = _seed_problems(3, r)
+                probs = perturbed_problems(SEED_INPUT, 3, salt=r)
                 t0 = time.perf_counter()
                 for _ in create_image_stream(probs, method):
                     pass
@@ -193,10 +173,10 @@ def main():
         scale_problem(p16, 16.0)
         b16 = p16.euv_beam
         n16 = b16.nx * b16.ny * b16.na * b16.nb
-        create_image(p16, method)  # warmup
-        t16 = _time_calls(lambda: create_image(p16, method), 9)
+        img16, ang16 = create_image(p16, method)  # warmup + sanity source
+        t16 = _time_perturbed(create_image, REFERENCE_INPUT, method, 9,
+                              salt=31, scale=16.0)
         s16 = TimingStats.of(t16)
-        img16, ang16 = p16.image, p16.I_ang
         sanity = True
         if method != "lax":
             pl16, _, _ = load_input(REFERENCE_INPUT)
@@ -215,25 +195,13 @@ def main():
         # serving-mode throughput at ASE_medium scale (same distinct-tables
         # protocol as the other stream rows)
         try:
-            import numpy as np
-
             from raytrace_tpu import create_image_stream
-
-            def _s16_problems(n, salt):
-                probs = []
-                for i in range(n):
-                    pp, _, _ = load_input(REFERENCE_INPUT)
-                    scale_problem(pp, 16.0)
-                    f = np.float32(1.0 + 1e-5 * (salt * n + i + 1))
-                    for g in pp.gain:
-                        g.g0 = (np.asarray(g.g0, np.float32) * f).astype(
-                            np.float32)
-                    probs.append(pp)
-                return probs
+            from raytrace_tpu.testing import perturbed_problems
 
             per_call = []
             for r in range(2):
-                probs = _s16_problems(4, r)
+                probs = perturbed_problems(REFERENCE_INPUT, 4, salt=r,
+                                           scale=16.0)
                 t0 = time.perf_counter()
                 for _ in create_image_stream(probs, method):
                     pass

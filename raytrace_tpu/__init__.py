@@ -26,18 +26,41 @@ jax.config.update("jax_enable_x64", True)
 # later process cold-start in seconds. Keyed on the HLO hash, so code
 # changes miss safely. Opt out with RAYTRACE_NO_COMPILE_CACHE=1 or point
 # elsewhere with RAYTRACE_COMPILE_CACHE_DIR.
+def _host_tag() -> str:
+    """Fingerprint of this host's CPU features. XLA:CPU cache entries are
+    AOT machine code compiled for the build host's exact feature set;
+    loading them on a host with fewer features warns loudly and can
+    SIGILL/segfault (observed: a cache populated on an AMX-capable host
+    crashed a later run on a plain-AVX512 host). Keying the cache dir on
+    the feature set makes a foreign cache invisible instead of fatal."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    import hashlib
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform as _pf
+    return _pf.machine() or "unknown"
+
+
 if os.environ.get("RAYTRACE_NO_COMPILE_CACHE") != "1":
-    _cache_dir = os.environ.get(
+    _cache_dir = os.path.join(os.environ.get(
         "RAYTRACE_COMPILE_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), ".jax_cache"))
+            os.path.abspath(__file__))), ".jax_cache")), _host_tag())
     try:
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         # XLA:CPU AOT results embed host machine features and warn loudly
         # (potential SIGILL) when loaded on a different host; the jax-level
-        # executable cache alone captures the 30-90 s Mosaic/XLA wins
+        # executable cache alone captures the 30-90 s Mosaic/XLA wins.
+        # This knob must be set BEFORE the cache dir: on an older jax
+        # without it, enabling the dir anyway would persist host-specific
+        # AOT code -- the exact hazard the knob exists to prevent -- so a
+        # failure here must leave the cache off entirely.
         jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
     except Exception:  # older jax without the knobs: run uncached
         pass
 

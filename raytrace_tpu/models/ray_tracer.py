@@ -592,6 +592,20 @@ def _resolve_backend(name: str, pallas_ok: bool,
     return name
 
 
+def resolve_method(problem: "CreateImageProblem",
+                   compute_method: str = "auto") -> str:
+    """The backend a ``create_image`` call on this problem would actually
+    execute, after alias resolution and envelope fallbacks (pallas/lax fall
+    back to lax-exact outside their geometry envelope). Cheap -- no table
+    packing -- so harnesses can label benchmark rows with the backend that
+    really ran instead of the one that was requested."""
+    use_emis = problem.gain[0].E0 is not None and problem.seed is None
+    from raytrace_tpu.ops import pallas_kernel as pk
+    pallas_ok = pk.fits_pallas(problem.gain, use_emis) and problem.N > 1
+    return _resolve_backend(compute_method, pallas_ok,
+                            fast_stepper.fits_fast(problem.gain))
+
+
 class PreparedCall(NamedTuple):
     """The prepare/execute split of a ``create_image`` call.
 
@@ -815,8 +829,8 @@ def create_image(problem: CreateImageProblem, compute_method: str = "auto",
         raise
 
     profiler.start(prep.timer_name)
-    outs = prep.pipeline(*prep.operands)
     try:
+        outs = prep.pipeline(*prep.operands)
         return _finalize_call(problem, prep, outs, failed_ray_path)
     finally:
         profiler.stop(prep.timer_name)
@@ -902,13 +916,16 @@ def create_image_stream(problems, compute_method: str = "auto",
     profiler.start("create_image_stream")
     try:
         for problem in problems:
+            # retire the oldest call BEFORE dispatching the next one, so at
+            # most ``depth`` calls are ever dispatched-but-unread (the
+            # documented in-flight memory bound)
+            if len(in_flight) >= depth:
+                p, pr, o = in_flight.popleft()
+                yield _finalize_call(p, pr, o, failed_ray_path)
             prep = prepare_pipeline(problem, compute_method, chunk_size,
                                     spectrum_dtype, c, deposit)
             outs = prep.pipeline(*prep.operands)   # asynchronous dispatch
             in_flight.append((problem, prep, outs))
-            if len(in_flight) > depth:
-                p, pr, o = in_flight.popleft()
-                yield _finalize_call(p, pr, o, failed_ray_path)
         while in_flight:
             p, pr, o = in_flight.popleft()
             yield _finalize_call(p, pr, o, failed_ray_path)

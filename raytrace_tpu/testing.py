@@ -13,7 +13,7 @@ from raytrace_tpu.structures import (
     CreateImageProblem, EUVBeam, RayGain, RaySeed, SeedBeam,
 )
 
-__all__ = ["synthetic_problem"]
+__all__ = ["synthetic_problem", "perturbed_problems"]
 
 
 def _uniform_grid(lo, hi, n):
@@ -151,3 +151,30 @@ def synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6, N=3, seeded=False,
         seed.f0 = 3e10
         p.seed = seed
     return p
+
+
+def perturbed_problems(path, n, salt=0, scale=None):
+    """``n`` fresh copies of the snapshot at ``path``, each with its gain
+    ``g0`` tables scaled by a distinct factor ``1 + 1e-5*(salt*n + i + 1)``.
+
+    This is the distinct-tables benchmarking protocol shared by bench.py,
+    the CLI ``-stream`` rows, and tools/bench_stream.py: on a tunneled
+    device link the runtime result-caches identical-input executions at the
+    whole-jit level, so every timed call must receive distinct inputs or
+    the loop measures the cache instead of the machine (ROADMAP.md,
+    "Benchmarking on this rig"). It also matches production semantics --
+    the gain tables change every iteration (Readme.txt:43). Vary ``salt``
+    across timing rounds so factors never repeat within a process.
+    """
+    from raytrace_tpu.io.loader import load_input, scale_problem
+
+    probs = []
+    for i in range(n):
+        p, _, _ = load_input(path)
+        if scale is not None and scale != 1.0:
+            scale_problem(p, scale)
+        f = np.float32(1.0 + 1e-5 * (salt * n + i + 1))
+        for g in p.gain:
+            g.g0 = (np.asarray(g.g0, np.float32) * f).astype(np.float32)
+        probs.append(p)
+    return probs

@@ -112,7 +112,8 @@ def run_tests(filename: str, options: Options) -> int:
     # the mesh-sharded path too (the reference's defaults likewise include
     # Cuda-MultiGPU when several GPUs exist, CreateImageHelpers.h:62).
     import jax
-    from raytrace_tpu.models.ray_tracer import available_methods
+    from raytrace_tpu.models.ray_tracer import (available_methods,
+                                                resolve_method)
     multichip = options.multichip
     if not options.methods:
         methods = available_methods()
@@ -124,8 +125,24 @@ def run_tests(filename: str, options: Options) -> int:
 
     problem, image0, i_ang0 = load_input(filename, options.scale)
     rows = []
+    benchmarked: set[str] = set()
     for method in methods:
-        pout.write(f"Running {method}\n")
+        # label rows with the backend that really runs: out-of-envelope
+        # requests (e.g. pallas on a >128-point non-uniform grid) fall back
+        # to lax-exact, and a row labeled with the requested name would
+        # misreport which backend was timed
+        actual = resolve_method(problem, method)
+        label = method if actual == method else f"{method}->{actual}"
+        if actual != method:
+            pout.write(f"Running {method} (out of envelope, runs {actual})\n")
+        else:
+            pout.write(f"Running {method}\n")
+        if not options.methods and actual in benchmarked:
+            # default all-methods mode: don't burn iterations timing the
+            # same fallback backend under a second name
+            pout.write(f"  (same backend as an earlier row, skipped)\n")
+            continue
+        benchmarked.add(actual)
         # warmup (JIT compile) run, like the reference's GPU warmup
         warm, w0, w1 = load_input(filename, 0.1)
         create_image(warm, method, spectrum_dtype=sdtype)
@@ -137,7 +154,7 @@ def run_tests(filename: str, options: Options) -> int:
             image, i_ang = create_image(problem, method, spectrum_dtype=sdtype)
             times.append(time.perf_counter() - t0)
         stats = TimingStats.of(_gather_times(times))
-        rows.append((method, stats))
+        rows.append((label, stats))
 
         if options.scale == 1.0 and image0 is not None:
             if not check_ans(image0, i_ang0, image, i_ang):
@@ -146,21 +163,12 @@ def run_tests(filename: str, options: Options) -> int:
 
         if options.stream > 0:
             from raytrace_tpu.models.ray_tracer import create_image_stream
-
-            def _stream_units(n, salt):
-                units = []
-                for i in range(n):
-                    u, _, _ = load_input(filename, options.scale)
-                    f = np.float32(1.0 + 1e-5 * (salt * n + i + 1))
-                    for g in u.gain:
-                        g.g0 = (np.asarray(g.g0, np.float32) * f).astype(
-                            np.float32)
-                    units.append(u)
-                return units
+            from raytrace_tpu.testing import perturbed_problems
 
             per_call = []
             for r in range(2):  # two passes -> a min and a spread
-                units = _stream_units(options.stream, r)
+                units = perturbed_problems(filename, options.stream, salt=r,
+                                           scale=options.scale)
                 t0 = time.perf_counter()
                 for s_img, s_ang in create_image_stream(
                         units, method, spectrum_dtype=sdtype):
@@ -168,7 +176,7 @@ def run_tests(filename: str, options: Options) -> int:
                             and np.isfinite(s_ang).all()):
                         n_errors += 1
                 per_call.append((time.perf_counter() - t0) / len(units))
-            rows.append((f"{method}+stream",
+            rows.append((f"{label}+stream",
                          TimingStats.of(_gather_times(per_call))))
 
     if multichip:

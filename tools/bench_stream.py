@@ -16,20 +16,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np  # noqa: E402
-
-from raytrace_tpu import create_image, create_image_stream, load_input  # noqa: E402
-
-
-def make_problems(path, n, salt):
-    probs = []
-    for i in range(n):
-        p, _, _ = load_input(path)
-        f = np.float32(1.0 + 1e-5 * (salt * n + i + 1))
-        for g in p.gain:
-            g.g0 = (np.asarray(g.g0, np.float32) * f).astype(np.float32)
-        probs.append(p)
-    return probs
+from raytrace_tpu import create_image, create_image_stream  # noqa: E402
+from raytrace_tpu.testing import perturbed_problems as make_problems  # noqa: E402
 
 
 def main():

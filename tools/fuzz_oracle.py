@@ -193,7 +193,7 @@ def run_case(ci, kw):
             for g in p.gain:
                 g.g0 = (np.asarray(g.g0) * np.float32(0.25)).astype(
                     np.float32)
-        want_img, _ = oracle_images(p, method)
+        want_img, want_ang = oracle_images(p, method)
         if want_img is None:
             print(f"  [{ci}] {kw} -> failure-path config, skipped")
             return 0
@@ -201,6 +201,7 @@ def run_case(ci, kw):
         if SHARDED:
             backends += [("lax", True), ("pallas", True)]
         got = {}
+        got_ang = {}
         for backend, sharded in backends:
             p2 = synthetic_problem(rng=ci, **kw)
             if p2.N > 5:
@@ -211,31 +212,38 @@ def run_case(ci, kw):
                 from raytrace_tpu.parallel.mesh import make_mesh
                 from raytrace_tpu.parallel.sharding import create_image_sharded
                 mesh = make_mesh(min(8, len(jax.devices())))
-                img, _ = create_image_sharded(p2, mesh, backend,
-                                              chunk_size=1024)
+                img, ang = create_image_sharded(p2, mesh, backend,
+                                                chunk_size=1024)
             else:
-                img, _ = create_image(p2, backend, chunk_size=1024)
+                img, ang = create_image(p2, backend, chunk_size=1024)
             tag = f"{backend}+sharded" if sharded else backend
             got[tag] = np.asarray(img).reshape(-1)
-            n0 = np.linalg.norm(want_img)
-            d = np.linalg.norm(got[tag] - want_img) / max(n0, 1e-300)
-            if not (d < tol_for(p.N)
-                    or (n0 == 0 and np.linalg.norm(img) == 0)):
-                print(f"  MISMATCH [{ci}] {tag} {kw} rel={d:.2e}")
-                bad += 1
+            got_ang[tag] = np.asarray(ang).reshape(-1)
+            # both halves of the output are gated: the near-field spectrum
+            # image AND the far-field angular image
+            for what, want, have in (("image", want_img, got[tag]),
+                                     ("I_ang", want_ang, got_ang[tag])):
+                n0 = np.linalg.norm(want)
+                d = np.linalg.norm(have - want) / max(n0, 1e-300)
+                if not (d < tol_for(p.N)
+                        or (n0 == 0 and np.linalg.norm(have) == 0)):
+                    print(f"  MISMATCH [{ci}] {tag} {what} {kw} rel={d:.2e}")
+                    bad += 1
         # pairwise cross-backend consistency (tight: shared arithmetic)
         tags = sorted(got)
         for i, ta in enumerate(tags):
-            na = np.linalg.norm(got[ta])
             for tb in tags[i + 1:]:
                 tol = (TOL_XBACKEND if _family(ta) == _family(tb)
                        else tol_for(p.N))
-                d = np.linalg.norm(got[ta] - got[tb]) / max(na, 1e-300)
-                if not (d < tol or (na == 0 and np.linalg.norm(
-                        got[tb]) == 0)):
-                    print(f"  XBACKEND [{ci}] {ta} vs {tb} {kw} "
-                          f"rel={d:.2e}")
-                    bad += 1
+                for what, lhs, rhs in (("image", got[ta], got[tb]),
+                                       ("I_ang", got_ang[ta], got_ang[tb])):
+                    na = np.linalg.norm(lhs)
+                    d = np.linalg.norm(lhs - rhs) / max(na, 1e-300)
+                    if not (d < tol or (na == 0
+                                        and np.linalg.norm(rhs) == 0)):
+                        print(f"  XBACKEND [{ci}] {ta} vs {tb} {what} {kw} "
+                              f"rel={d:.2e}")
+                        bad += 1
         if STREAM:
             bad += _check_stream(ci, kw, p.N > 5, got["lax"])
     except Exception as e:

@@ -117,7 +117,15 @@ def main():
         # "Answers do not match" to stderr on a golden failure
         # (src/CreateImageHelpers.cpp:94-98).
         golden_ok = "Answers do not match" not in (out.stdout + out.stderr)
-        ran = "Running cpu" in out.stdout and out.returncode is not None
+        # the run must have COMPLETED, not just started: the reference
+        # prints exactly one of these verdict lines at the very end
+        # (src/CreateImage.cpp:246-248), and a signal death gives a
+        # negative returncode -- without this, a binary that crashes after
+        # "Running cpu" but before check_ans would count as golden-ok
+        completed = (out.returncode is not None and out.returncode >= 0
+                     and ("All tests passed" in out.stdout
+                          or "Some tests failed" in out.stdout))
+        ran = "Running cpu" in out.stdout and completed
         passed = golden_ok and ran
         timing_only = passed and "All tests passed" not in out.stdout
         note = " (timing-stability noise ignored)" if timing_only else ""
