@@ -651,3 +651,41 @@ def test_stream_failure_propagates(tmp_path):
     with pytest.raises(RayTraceError):
         list(gen)
     assert dump.exists() and dump.stat().st_size > 0
+
+
+def test_stream_depth_bounds_dispatch(monkeypatch):
+    """depth bounds dispatched-but-unread calls: with depth=2 the first
+    result must be yielded after exactly 2 dispatches (the documented
+    in-flight device-memory bound)."""
+    from raytrace_tpu.models import ray_tracer
+
+    calls = []
+    real_prepare = ray_tracer.prepare_pipeline
+
+    def counting_prepare(*a, **kw):
+        calls.append(1)
+        return real_prepare(*a, **kw)
+
+    monkeypatch.setattr(ray_tracer, "prepare_pipeline", counting_prepare)
+    probs = [synthetic_problem(nx=4, ny=3, na=2, nb=2, nv=3, rng=i)
+             for i in range(4)]
+    gen = ray_tracer.create_image_stream(probs, "lax", chunk_size=1024,
+                                         depth=2)
+    next(gen)
+    assert len(calls) == 2
+    rest = list(gen)
+    assert len(calls) == 4 and len(rest) == 3
+
+
+def test_resolve_method_reports_envelope_fallback():
+    """resolve_method names the backend that actually runs: the lax fast
+    backend's one-hot lane tables cap the gain grid width, so a wide grid
+    resolves to lax-exact while pallas covers it via multi-slab tables."""
+    from raytrace_tpu.models.ray_tracer import resolve_method
+
+    p = synthetic_problem(nx=4, ny=3, na=2, nb=2, nv=3)
+    assert resolve_method(p, "lax") == "lax"
+    assert resolve_method(p, "cpu") == "lax-exact"  # reference alias
+    wide = synthetic_problem(nx=4, ny=3, na=2, nb=2, nv=3, gain_nx=200)
+    assert resolve_method(wide, "lax") == "lax-exact"
+    assert resolve_method(wide, "lax-exact") == "lax-exact"
