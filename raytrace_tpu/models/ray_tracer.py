@@ -888,7 +888,8 @@ def create_image_stream(problems, compute_method: str = "auto",
                         chunk_size: int | None = None,
                         spectrum_dtype=jnp.float32, c: float = 0.5,
                         deposit: str = "auto", depth: int = 2,
-                        failed_ray_path: str = "Failed_RayTrace_rays.dat"):
+                        failed_ray_path: str = "Failed_RayTrace_rays.dat",
+                        mesh=None):
     """Overlapped execution over a sequence of independent work units.
 
     Yields ``(image, I_ang)`` per problem, exactly as :func:`create_image`
@@ -907,10 +908,29 @@ def create_image_stream(problems, compute_method: str = "auto",
     units (parameter scans, snapshot batches). ``depth`` bounds in-flight
     device memory (each in-flight call holds its tables + outputs; the
     default 2 = classic double buffering).
+
+    With ``mesh`` (a ``jax.sharding.Mesh``), every call runs the
+    ray-sharded multi-chip pipeline (``create_image_sharded`` semantics:
+    stride decomposition + end-of-call psum) with the same cross-call
+    overlap -- serving mode over the whole mesh.
     """
     if depth < 1:
         raise err_util.RayTraceError("create_image_stream needs depth >= 1")
     from collections import deque
+
+    if mesh is None:
+        def _prep(problem):
+            return prepare_pipeline(problem, compute_method, chunk_size,
+                                    spectrum_dtype, c, deposit)
+        _fin = _finalize_call
+    else:
+        from raytrace_tpu.parallel import sharding
+
+        def _prep(problem):
+            return sharding.prepare_sharded(problem, mesh, compute_method,
+                                            chunk_size, spectrum_dtype, c,
+                                            deposit)
+        _fin = sharding._finalize_sharded
 
     in_flight = deque()
     profiler.start("create_image_stream")
@@ -921,13 +941,12 @@ def create_image_stream(problems, compute_method: str = "auto",
             # documented in-flight memory bound)
             if len(in_flight) >= depth:
                 p, pr, o = in_flight.popleft()
-                yield _finalize_call(p, pr, o, failed_ray_path)
-            prep = prepare_pipeline(problem, compute_method, chunk_size,
-                                    spectrum_dtype, c, deposit)
+                yield _fin(p, pr, o, failed_ray_path)
+            prep = _prep(problem)
             outs = prep.pipeline(*prep.operands)   # asynchronous dispatch
             in_flight.append((problem, prep, outs))
         while in_flight:
             p, pr, o = in_flight.popleft()
-            yield _finalize_call(p, pr, o, failed_ray_path)
+            yield _fin(p, pr, o, failed_ray_path)
     finally:
         profiler.stop("create_image_stream")

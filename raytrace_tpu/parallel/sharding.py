@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import math
 import os
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +35,8 @@ from raytrace_tpu.structures import CreateImageProblem
 from raytrace_tpu.utils import errors as err_util
 from raytrace_tpu.utils.timer import profiler
 
-__all__ = ["create_image_sharded", "make_sharded_pipeline"]
+__all__ = ["create_image_sharded", "make_sharded_pipeline",
+           "prepare_sharded"]
 
 _SHARDED_CACHE: dict = {}
 
@@ -101,21 +103,28 @@ def make_sharded_pipeline(cfg: dict, trace_fn, mesh: Mesh):
     return jax.jit(sharded)
 
 
-def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
-                         compute_method: str = "auto",
-                         chunk_size: int | None = None,
-                         spectrum_dtype=jnp.float32, c: float = 0.5,
-                         deposit: str = "auto",
-                         failed_ray_path: str = "Failed_RayTrace_rays.dat",
-                         ) -> tuple[np.ndarray, np.ndarray]:
-    """Multi-chip create_image over a ray-sharded mesh.
+class PreparedShardedCall(NamedTuple):
+    """The prepare/execute split of a sharded call (the multi-chip analogue
+    of ray_tracer.PreparedCall): ``pipeline(*operands)`` dispatches the
+    whole jitted sharded call asynchronously; ``_finalize_sharded`` blocks
+    on the readback and applies the failure path + layout contract."""
+    pipeline: object
+    operands: tuple
+    cfg: dict
+    mesh: Mesh
 
-    Every device computes a stride-decomposed share of the rays; the
-    returned images are the psum-reduced totals (identical on every device).
-    """
+
+def prepare_sharded(problem: CreateImageProblem, mesh: Mesh,
+                    compute_method: str = "auto",
+                    chunk_size: int | None = None,
+                    spectrum_dtype=jnp.float32, c: float = 0.5,
+                    deposit: str = "auto") -> PreparedShardedCall:
+    """Validate + pack the problem and fetch (compiling if needed) the
+    cached sharded whole-call pipeline. Host-side packing happens here; the
+    host->device transfer happens when the pipeline runs (inside the timed
+    region, per the reference's per-call re-upload semantics)."""
     beam = problem.euv_beam
     D = mesh.size
-    profiler.start("create_image-sharded")
 
     if problem.seed is not None:
         method = 2
@@ -216,17 +225,17 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
                bin_deposit,
                problem.N_start, problem.N_parallel, fast_meta, pallas_meta,
                pack_layout, beam_scalars, seed_f0, fused_amplify)
+    cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
+               use_emis=use_emis, dims=dims, scale=float(scale),
+               spectrum_dtype=spectrum_dtype, c=float(c), dense=False,
+               bin_deposit=bin_deposit,
+               chunk=chunk, n_chunks=n_chunks, na_nb=na * nb,
+               img_cells=nx * ny, N_start=problem.N_start,
+               N_parallel=problem.N_parallel, fast_meta=fast_meta,
+               pallas_meta=pallas_meta,
+               pack_layout=pack_layout, beam_scalars=beam_scalars,
+               seed_f0=seed_f0, fused_amplify=fused_amplify)
     if cfg_key not in _SHARDED_CACHE:
-        cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
-                   use_emis=use_emis, dims=dims, scale=float(scale),
-                   spectrum_dtype=spectrum_dtype, c=float(c), dense=False,
-                   bin_deposit=bin_deposit,
-                   chunk=chunk, n_chunks=n_chunks, na_nb=na * nb,
-                   img_cells=nx * ny, N_start=problem.N_start,
-                   N_parallel=problem.N_parallel, fast_meta=fast_meta,
-                   pallas_meta=pallas_meta,
-                   pack_layout=pack_layout, beam_scalars=beam_scalars,
-                   seed_f0=seed_f0, fused_amplify=fused_amplify)
         if backend == "pallas":
             trace_fn = ray_tracer.make_pallas_trace_fn(cfg)
         elif backend == "lax":
@@ -243,12 +252,47 @@ def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
                 return stepper.trace_batch(rays, cfg["N"], cfg["dz"], tables,
                                            method, c=c, use_emis=use_emis)
         _SHARDED_CACHE[cfg_key] = make_sharded_pipeline(cfg, trace_fn, mesh)
-    pipeline = _SHARDED_CACHE[cfg_key]
+    return PreparedShardedCall(
+        pipeline=_SHARDED_CACHE[cfg_key],
+        operands=(pack, trace_tables, gv_tables, seed_dev),
+        cfg=cfg, mesh=mesh)
 
-    image_d, iang_d, fail3_d, codes_d = pipeline(pack, trace_tables,
-                                                 gv_tables, seed_dev)
+
+def create_image_sharded(problem: CreateImageProblem, mesh: Mesh,
+                         compute_method: str = "auto",
+                         chunk_size: int | None = None,
+                         spectrum_dtype=jnp.float32, c: float = 0.5,
+                         deposit: str = "auto",
+                         failed_ray_path: str = "Failed_RayTrace_rays.dat",
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-chip create_image over a ray-sharded mesh.
+
+    Every device computes a stride-decomposed share of the rays; the
+    returned images are the psum-reduced totals (identical on every device).
+    """
+    profiler.start("create_image-sharded")
+    try:
+        prep = prepare_sharded(problem, mesh, compute_method, chunk_size,
+                               spectrum_dtype, c, deposit)
+        outs = prep.pipeline(*prep.operands)
+        return _finalize_sharded(problem, prep, outs, failed_ray_path)
+    finally:
+        profiler.stop("create_image-sharded")
+
+
+def _finalize_sharded(problem: CreateImageProblem, prep: PreparedShardedCall,
+                      outs, failed_ray_path: str
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Blocking tail of a dispatched sharded call: readback, failure path,
+    layout contract, store on the problem."""
+    cfg = prep.cfg
+    D = prep.mesh.size
+    beam = problem.euv_beam
+    src = problem.seed_beam if problem.seed is not None else beam
+    method, dims, chunk = cfg["method"], cfg["dims"], cfg["chunk"]
+
+    image_d, iang_d, fail3_d, codes_d = outs
     image, i_ang, fail3_np = jax.device_get((image_d, iang_d, fail3_d))
-    profiler.stop("create_image-sharded")
 
     if np.any(fail3_np > 0):
         bits = 0

@@ -235,3 +235,30 @@ def test_dryrun_multichip_entry():
     fn, args = graft.entry()
     img, ang = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(img)))
+
+
+@needs_mesh
+def test_sharded_stream_matches_per_call():
+    """create_image_stream(mesh=...) is serving mode over the whole mesh:
+    it must reproduce per-call create_image_sharded bitwise, in order,
+    including a mixed ASE/seeded sequence."""
+    from raytrace_tpu import create_image_stream
+
+    mesh = make_mesh(8)
+
+    def make(i):
+        return synthetic_problem(nx=5, ny=4, na=3, nb=3, nv=4,
+                                 seeded=i % 2 == 1, rng=300 + i)
+
+    want = []
+    for i in range(3):
+        p = make(i)
+        want.append(create_image_sharded(p, mesh, "lax", chunk_size=2048))
+
+    probs = [make(i) for i in range(3)]
+    got = list(create_image_stream(probs, "lax", chunk_size=2048, mesh=mesh))
+    assert len(got) == 3
+    for i, ((gi, ga), (wi, wa)) in enumerate(zip(got, want)):
+        assert np.array_equal(gi, wi), i
+        assert np.array_equal(ga, wa), i
+        assert np.array_equal(probs[i].image, wi)
