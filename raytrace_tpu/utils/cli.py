@@ -197,10 +197,28 @@ def run_tests(filename: str, options: Options) -> int:
         if options.scale == 1.0 and image0 is not None:
             if not check_ans(image0, i_ang0, image, i_ang):
                 n_errors += 1
+        if options.stream > 0:
+            from raytrace_tpu.models.ray_tracer import create_image_stream
+            from raytrace_tpu.testing import perturbed_problems
 
-    pout.write(f"\n{'METHOD':>14s} {'Avg':>8s} {'Min':>8s} {'Max':>8s} {'Std Dev':>9s}\n")
+            per_call = []
+            for r in range(2):
+                units = perturbed_problems(filename, options.stream,
+                                           salt=10 + r, scale=options.scale)
+                t0 = time.perf_counter()
+                for s_img, s_ang in create_image_stream(units, mesh=mesh,
+                                                        spectrum_dtype=sdtype):
+                    if not (np.isfinite(s_img).all()
+                            and np.isfinite(s_ang).all()):
+                        n_errors += 1
+                per_call.append((time.perf_counter() - t0) / len(units))
+            rows.append((f"multichip[{mesh.size}]+stream",
+                         TimingStats.of(_gather_times(per_call))))
+
+    w = max(14, max((len(r[0]) for r in rows), default=14))
+    pout.write(f"\n{'METHOD':>{w}s} {'Avg':>8s} {'Min':>8s} {'Max':>8s} {'Std Dev':>9s}\n")
     for method, stats in rows:
-        pout.write(f"{method:>14s} {stats.avg:8.3f} {stats.min:8.3f}"
+        pout.write(f"{method:>{w}s} {stats.avg:8.3f} {stats.min:8.3f}"
                    f" {stats.max:8.3f} {stats.std:9.3f}\n")
     return n_errors
 

@@ -114,11 +114,13 @@ def test_cli_default_methods_all_available(golden_file, capsys):
 
 def test_cli_multichip_flag(golden_file, capsys):
     """-multichip runs the mesh-sharded path over the full virtual CPU mesh
-    and its result must pass the same golden gate as the serial methods."""
+    and its result must pass the same golden gate as the serial methods;
+    with -stream it also reports the mesh serving-mode row."""
     rc = cli.main(["-methods=lax", "-iterations=1", "-multichip",
-                   golden_file])
+                   "-stream=2", golden_file])
     out = capsys.readouterr().out
     assert "multichip[8]" in out, out
+    assert "multichip[8]+stream" in out, out
     assert "Answers do not match" not in out
 
 
