@@ -622,19 +622,36 @@ class PreparedCall(NamedTuple):
     timer_name: str
 
 
-def prepare_pipeline(problem: CreateImageProblem,
-                     compute_method: str = "auto",
-                     chunk_size: int | None = None,
-                     spectrum_dtype=jnp.float32, c: float = 0.5,
-                     deposit: str = "auto") -> PreparedCall:
-    """Validate the problem, pack its tables, resolve the static config and
-    fetch (compiling if needed) the cached whole-call pipeline.
+class CommonPrep(NamedTuple):
+    """Problem-dependent state shared by the single-chip and sharded
+    prepares: validation happened, the backend is resolved, tables are
+    packed, the bundle is built. Chunk policy and pipeline construction
+    remain per-path."""
+    backend: str
+    method: int
+    scale: float
+    dims: tuple
+    use_emis: bool
+    K: int
+    trace_tables: object
+    fast_meta: object
+    pallas_meta: object
+    gv_tables: object
+    seed_dev: object
+    seed_f0: float
+    pack: object
+    pack_layout: object
+    beam_scalars: object
+    bin_deposit: str
+    timer_name: str
 
-    Host-side packing happens here; the host->device transfer happens when
-    the returned pipeline is invoked with the returned operands (inside the
-    timed region on purpose: the reference re-uploads per call because the
-    production gain tables change every iteration, Readme.txt:43).
-    """
+
+def prepare_common(problem: CreateImageProblem, compute_method: str,
+                   spectrum_dtype, deposit: str) -> CommonPrep:
+    """Validate the problem, resolve the backend and pack its tables --
+    everything a ``create_image`` call needs before the (single-chip or
+    mesh-sharded) chunk policy. One implementation so the two paths can
+    never diverge on validation or packing."""
     if problem.N > N_MAX:
         raise err_util.RayTraceError("Exceeded maximum number of length segments")
     if problem.euv_beam.nv >= K_MAX:
@@ -677,19 +694,17 @@ def prepare_pipeline(problem: CreateImageProblem,
     backend = _resolve_backend(compute_method, pallas_ok, fast_ok)
     timer_name += "-" + backend
     K = beam.nv
-    nx, ny, na, nb = beam.nx, beam.ny, beam.na, beam.nb
 
     # host -> device conversion of the problem tables. Inside the timed
     # region on purpose: the reference re-uploads per call because the
     # production gain tables change every iteration (Readme.txt:43).
-    K_ = problem.euv_beam.nv
     pallas_meta = None
     if backend == "lax":
         ft = fast_stepper.pack_fast_tables(problem.gain, use_emis)
         trace_tables = ft.tx
         fast_meta = (ft.meta, ft.nch, ft.ny_cells)
         # the spectrum only needs the lineshape rows of segments 1..N-1
-        gv_tables = _stack_gv(problem.gain, K_)
+        gv_tables = _stack_gv(problem.gain, K)
     elif backend == "pallas":
         pg = pk.pack_gain_tables(problem.gain, use_emis)
         trace_tables = pg.tables
@@ -700,7 +715,7 @@ def prepare_pipeline(problem: CreateImageProblem,
                        ("range4", tuple(tuple(r) for r in pg.range4)),
                        ("nslab", pg.nslab),
                        ("nonuniform", pg.nonuniform))
-        gv_tables = _stack_gv(problem.gain, K_)
+        gv_tables = _stack_gv(problem.gain, K)
     else:
         trace_tables = prepare_gain(problem.gain)
         fast_meta = None
@@ -717,8 +732,44 @@ def prepare_pipeline(problem: CreateImageProblem,
             seed_f0 = float(problem.seed.f0)
         else:
             seed_dev = prepare_seed(problem.seed)
-    ray_grids, pack_layout, beam_scalars = make_bundle_pack(
+    pack, pack_layout, beam_scalars = make_bundle_pack(
         beam, src, entry_seed_host)
+    bin_deposit = resolve_bin_deposit(deposit, backend, method,
+                                      spectrum_dtype)
+    return CommonPrep(backend=backend, method=method, scale=scale, dims=dims,
+                      use_emis=use_emis, K=K, trace_tables=trace_tables,
+                      fast_meta=fast_meta, pallas_meta=pallas_meta,
+                      gv_tables=gv_tables, seed_dev=seed_dev, seed_f0=seed_f0,
+                      pack=pack, pack_layout=pack_layout,
+                      beam_scalars=beam_scalars, bin_deposit=bin_deposit,
+                      timer_name=timer_name)
+
+
+def prepare_pipeline(problem: CreateImageProblem,
+                     compute_method: str = "auto",
+                     chunk_size: int | None = None,
+                     spectrum_dtype=jnp.float32, c: float = 0.5,
+                     deposit: str = "auto") -> PreparedCall:
+    """Validate the problem, pack its tables, resolve the static config and
+    fetch (compiling if needed) the cached whole-call pipeline.
+
+    Host-side packing happens here; the host->device transfer happens when
+    the returned pipeline is invoked with the returned operands (inside the
+    timed region on purpose: the reference re-uploads per call because the
+    production gain tables change every iteration, Readme.txt:43).
+    """
+    from raytrace_tpu.ops import pallas_kernel as pk
+    cp = prepare_common(problem, compute_method, spectrum_dtype, deposit)
+    beam = problem.euv_beam
+    backend, method, scale, dims = cp.backend, cp.method, cp.scale, cp.dims
+    use_emis, K = cp.use_emis, cp.K
+    trace_tables, fast_meta, pallas_meta = (cp.trace_tables, cp.fast_meta,
+                                            cp.pallas_meta)
+    gv_tables, seed_dev, seed_f0 = cp.gv_tables, cp.seed_dev, cp.seed_f0
+    ray_grids, pack_layout, beam_scalars = (cp.pack, cp.pack_layout,
+                                            cp.beam_scalars)
+    timer_name = cp.timer_name
+    nx, ny, na, nb = beam.nx, beam.ny, beam.na, beam.nb
     beam_dev = None
 
     Nt = dims[0] * dims[1] * dims[2] * dims[3]
@@ -729,8 +780,7 @@ def prepare_pipeline(problem: CreateImageProblem,
     # TPU), "scatter" (segment_sum; portable default elsewhere).
     dense = (method == 1 and problem.N_start == 0 and problem.N_parallel == 1
              and B_total == Nt and deposit == "dense")
-    bin_deposit = resolve_bin_deposit(deposit, backend, method,
-                                      spectrum_dtype)
+    bin_deposit = cp.bin_deposit
     blk = dims[2] * dims[3]
     auto_chunk = chunk_size is None
     if auto_chunk:

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from raytrace_tpu.models import ray_tracer
-from raytrace_tpu.models.problem import prepare_gain, prepare_seed
+
 from raytrace_tpu.ops import fast_stepper, stepper
 from raytrace_tpu.parallel.mesh import RAY_AXIS
 from raytrace_tpu.structures import CreateImageProblem
@@ -122,69 +122,28 @@ def prepare_sharded(problem: CreateImageProblem, mesh: Mesh,
     """Validate + pack the problem and fetch (compiling if needed) the
     cached sharded whole-call pipeline. Host-side packing happens here; the
     host->device transfer happens when the pipeline runs (inside the timed
-    region, per the reference's per-call re-upload semantics)."""
+    region, per the reference's per-call re-upload semantics).
+
+    Validation, backend resolution (the fastest backend runs per shard,
+    exactly like the reference's multi-GPU path drives its CUDA kernel,
+    RayTraceImage.cpp:396-405; off-TPU the pallas kernel executes via the
+    interpreter), table packing and the deposit policy all come from
+    ray_tracer.prepare_common -- one implementation, so the single-chip
+    and multi-chip paths cannot diverge on them."""
     beam = problem.euv_beam
     D = mesh.size
-
-    if problem.seed is not None:
-        method = 2
-        src = problem.seed_beam
-        scale = (src.dx * src.dy * src.da * src.db) / (beam.dx * beam.dy)
-    else:
-        method = 1
-        src = beam
-        scale = 1.0
-    dims = (src.nx, src.ny, src.na, src.nb)
-    use_emis = problem.gain[0].E0 is not None and problem.seed is None
     from raytrace_tpu.ops import pallas_kernel as pk
-    pallas_ok = pk.fits_pallas(problem.gain, use_emis) and problem.N > 1
-    fast_ok = fast_stepper.fits_fast(problem.gain)
-    backend = ray_tracer._resolve_backend(compute_method, pallas_ok, fast_ok)
-    K = beam.nv
+    cp = ray_tracer.prepare_common(problem, compute_method, spectrum_dtype,
+                                   deposit)
+    backend, method, scale, dims = cp.backend, cp.method, cp.scale, cp.dims
+    use_emis, K = cp.use_emis, cp.K
+    trace_tables, fast_meta, pallas_meta = (cp.trace_tables, cp.fast_meta,
+                                            cp.pallas_meta)
+    gv_tables, seed_dev, seed_f0 = cp.gv_tables, cp.seed_dev, cp.seed_f0
+    pack, pack_layout, beam_scalars = (cp.pack, cp.pack_layout,
+                                       cp.beam_scalars)
+    bin_deposit = cp.bin_deposit
     nx, ny, na, nb = beam.nx, beam.ny, beam.na, beam.nb
-
-    pallas_meta = None
-    if backend == "lax":
-        ft = fast_stepper.pack_fast_tables(problem.gain, use_emis)
-        trace_tables = ft.tx
-        fast_meta = (ft.meta, ft.nch, ft.ny_cells)
-        gv_tables = ray_tracer._stack_gv(problem.gain, K)
-    elif backend == "pallas":
-        # the fastest backend runs per shard, exactly like the reference's
-        # multi-GPU path drives its CUDA kernel (RayTraceImage.cpp:396-405);
-        # off-TPU the kernel executes via the Pallas interpreter (a chosen,
-        # semantics-identical fallback -- ops/pallas_kernel.trace_tiles)
-        pg = pk.pack_gain_tables(problem.gain, use_emis)
-        trace_tables = pg.tables
-        fast_meta = None
-        pallas_meta = (("x0", pg.x0), ("dxc", pg.dxc), ("y0", pg.y0),
-                       ("dyc", pg.dyc), ("nx", pg.nx), ("ny", pg.ny),
-                       ("absy", pg.absy),
-                       ("range4", tuple(tuple(r) for r in pg.range4)),
-                       ("nslab", pg.nslab),
-                       ("nonuniform", pg.nonuniform))
-        gv_tables = ray_tracer._stack_gv(problem.gain, K)
-    else:
-        trace_tables = prepare_gain(problem.gain)
-        fast_meta = None
-        gv_tables = trace_tables.gv[1:]
-
-    entry_seed_host = None
-    seed_dev = None
-    seed_f0 = 0.0
-    if problem.seed is not None:
-        if method == 2:
-            entry_seed_host = ray_tracer._entry_seed_host(problem.seed, src, K)
-            seed_f0 = float(problem.seed.f0)
-        else:
-            seed_dev = prepare_seed(problem.seed)
-    pack, pack_layout, beam_scalars = ray_tracer.make_bundle_pack(
-        beam, src, entry_seed_host)
-
-    # identical deposit policy to the single-device path (ray_tracer), so
-    # multi-chip inherits the measured-fastest strategies per workload
-    bin_deposit = ray_tracer.resolve_bin_deposit(deposit, backend, method,
-                                                 spectrum_dtype)
 
     Nt = dims[0] * dims[1] * dims[2] * dims[3]
     skip = problem.N_parallel

