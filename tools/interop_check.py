@@ -11,7 +11,10 @@ and runs the reference `CreateImage` binary on them -- the reference then
 re-computes and applies its own 5e-6 norm gate against OUR goldens.
 
 Usage:
-    python tools/interop_check.py /path/to/reference/CreateImage [workdir]
+    python tools/interop_check.py /path/to/reference/CreateImage [workdir] [--cpu]
+
+``--cpu`` forces the JAX side onto the CPU backend (the reference side is
+always CPU); use it when the tunneled TPU is unreachable.
 
 Last verified result (2026-08-17, round 3): PASS for all seven synthetics
 -- ASE, seeded, the full-plane (abs_y mirror off) variants of both, the
@@ -39,11 +42,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    if len(sys.argv) < 2:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if not args:
         print(__doc__)
         return 1
-    binary = sys.argv[1]
-    workdir = Path(sys.argv[2]) if len(sys.argv) > 2 else Path(tempfile.mkdtemp())
+    if "--cpu" in sys.argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    binary = args[0]
+    workdir = Path(args[1]) if len(args) > 1 else Path(tempfile.mkdtemp())
     workdir.mkdir(parents=True, exist_ok=True)
 
     from raytrace_tpu import create_image
