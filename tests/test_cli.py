@@ -122,6 +122,9 @@ def test_cli_multichip_flag(golden_file, capsys):
     assert "multichip[8]" in out, out
     assert "multichip[8]+stream" in out, out
     assert "Answers do not match" not in out
+    # rc carries the silent error paths (e.g. non-finite stream outputs
+    # increment n_errors without printing) -- it must be checked
+    assert rc == 0, out
 
 
 def test_cli_stream_row(golden_file, capsys):

@@ -227,7 +227,8 @@ def test_seed_small_sharded_reduced_scale():
 
 def test_dryrun_multichip_entry():
     import sys
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     import importlib
     graft = importlib.import_module("__graft_entry__")
     if len(jax.devices()) >= 8:
@@ -262,3 +263,4 @@ def test_sharded_stream_matches_per_call():
         assert np.array_equal(gi, wi), i
         assert np.array_equal(ga, wa), i
         assert np.array_equal(probs[i].image, wi)
+        assert np.array_equal(probs[i].I_ang, wa)
