@@ -228,8 +228,10 @@ PyObject *py_parse_create_image(PyObject *, PyObject *args) {
     if (!PyArg_ParseTuple(args, "y*", &buf)) return nullptr;
     Cursor c{(const uint8_t *)buf.buf, (size_t)buf.len};
     PyObject *out = PyDict_New();
-    PyObject *mv_owner = PyMemoryView_FromMemory(
-        (char *)buf.buf, buf.len, PyBUF_READ);
+    // a view of the EXPORTING object (buf.obj), not a raw FromMemory view:
+    // slices stored in the result dict must keep the caller's bytes alive
+    // after we release our buffer, or they would alias freed memory
+    PyObject *mv_owner = PyMemoryView_FromObject(buf.obj);
     (void)nx; (void)ny; (void)na; (void)nb; (void)nv;
 
     int32_t N, N_start, N_parallel;

@@ -18,6 +18,11 @@ from __future__ import annotations
 
 import numpy as np
 
+try:  # native decompressor (built from native/raytrace_native.cpp)
+    import raytrace_native as _native
+except ImportError:  # pure-Python fallback below
+    _native = None
+
 __all__ = ["compress_array", "decompress_array", "compress_bool", "decompress_bool"]
 
 
@@ -46,8 +51,16 @@ def compress_array(data: np.ndarray, method: int) -> bytes:
 
 
 def decompress_array(n: int, payload: bytes, method: int, dtype) -> np.ndarray:
-    """Decompress ``payload`` into an array of ``n`` elements of ``dtype``."""
+    """Decompress ``payload`` into an array of ``n`` elements of ``dtype``.
+
+    Delegates to the native extension when present (float dtypes only);
+    the numpy path below is the portable fallback and the reference for
+    the cross-implementation test (tests/test_io.py)."""
     dtype = np.dtype(dtype)
+    if (_native is not None and method in (0, 1, 2)
+            and dtype in (np.dtype(np.float32), np.dtype(np.float64))):
+        return _native.decompress_array(int(n), bytes(payload), int(method),
+                                        dtype == np.dtype(np.float32))
     if method == 0:
         out = np.frombuffer(payload, dtype=dtype, count=n).copy()
         return out

@@ -13,7 +13,7 @@ from raytrace_tpu.structures import (
     CreateImageProblem, EUVBeam, RayGain, RaySeed, SeedBeam,
 )
 
-__all__ = ["synthetic_problem", "perturbed_problems"]
+__all__ = ["synthetic_problem", "perturbed_problems", "oracle_images"]
 
 
 def _uniform_grid(lo, hi, n):
@@ -178,3 +178,59 @@ def perturbed_problems(path, n, salt=0, scale=None):
             g.g0 = (np.asarray(g.g0, np.float32) * f).astype(np.float32)
         probs.append(p)
     return probs
+
+
+def oracle_images(p, method):
+    """Brute-force reference deposit via the scalar oracle: trace every ray
+    with ops.oracle.calc_ray and bin like the reference kernel
+    (RayTraceImageCuda.cu:84-125 semantics -- method 1 bins at entry
+    coords, method 2 at the negated exit angles with the y mirror).
+
+    Returns ``(image, i_ang)`` as float64 arrays, or ``(None, None)`` if
+    any ray hits the failure path (the caller decides whether that is a
+    skip or an assertion failure). Shared by the test suite and
+    tools/fuzz_oracle.py so the two gates can never diverge.
+    """
+    from raytrace_tpu.ops import oracle
+
+    b = p.euv_beam
+    src = p.seed_beam if method == 2 else b
+    scale = 1.0 if method == 1 else (
+        (src.dx * src.dy * src.da * src.db) / (b.dx * b.dy))
+    image = np.zeros(b.nx * b.ny * b.nv)
+    i_ang = np.zeros(b.na * b.nb)
+
+    def get_index(grid, d, y):
+        if y < grid[0] - 0.5 * d or y > grid[-1] + 0.5 * d:
+            return -1
+        return oracle.find_first_single(grid, y - 0.5 * d)
+
+    for i in range(src.nx):
+        for j in range(src.ny):
+            for k in range(src.na):
+                for m in range(src.nb):
+                    ray = (np.float32(src.x[i]), np.float32(src.y[j]),
+                           np.float32(src.a[k]), np.float32(src.b[m]))
+                    res = oracle.calc_ray(
+                        ray, p.N, b.dz, p.gain,
+                        p.seed if method == 2 else None, b.nv, method)
+                    if res.error != 0:
+                        return None, None  # failure-path config
+                    if method == 1:
+                        bx, by, ba, bb_ = ray
+                    else:
+                        bx, by = res.ray_out[0], res.ray_out[1]
+                        ba, bb_ = -res.ray_out[2], -res.ray_out[3]
+                        if by < 0 and b.y[0] >= 0:
+                            by = -by
+                    i1 = get_index(b.x, b.dx, bx)
+                    i2 = get_index(b.y, b.dy, by)
+                    i3 = get_index(b.a, b.da, ba)
+                    i4 = get_index(b.b, b.db, bb_)
+                    if i1 >= 0 and i2 >= 0:
+                        base = b.nv * (i1 + i2 * b.nx)
+                        image[base:base + b.nv] += res.Iv * scale
+                    if i3 >= 0 and i4 >= 0:
+                        i_ang[i3 + i4 * b.na] += float(
+                            np.sum(2.0 * b.dv * res.Iv))
+    return image, i_ang

@@ -4,12 +4,12 @@
 """
 
 import numpy as np
-from setuptools import Extension, setup
+from setuptools import Extension, find_packages, setup
 
 setup(
     name="raytrace_tpu",
     version="0.1.0",
-    packages=["raytrace_tpu"],
+    packages=find_packages(include=["raytrace_tpu*"]),
     ext_modules=[
         Extension(
             "raytrace_native",

@@ -167,3 +167,51 @@ def test_truncated_snapshot_raises_cleanly(tmp_path):
         p.write_bytes(data[:cut])
         with pytest.raises((OSError, ValueError, EOFError)):
             load_input(str(p))
+
+
+def test_native_decompress_matches_python():
+    """The native decompressor (wired into decompress_array for float
+    dtypes) must be byte-identical to the numpy reference path across all
+    modes and special cases (all-zero collapse, dense no-win storage)."""
+    native = pytest.importorskip("raytrace_native")
+    rng = np.random.default_rng(9)
+    cases = [
+        np.zeros(64),                                   # all-zero byte 7
+        rng.random(257) * (rng.random(257) < 0.3),      # sparse
+        rng.random(100),                                # dense no-win
+        rng.random(8) * (rng.random(8) < 0.5),
+    ]
+    def both(n, blob, method, dt):
+        got = native.decompress_array(n, blob, method, dt == np.float32)
+        # bypass the delegation to reach the numpy reference path
+        zc_native, zc._native = zc._native, None
+        try:
+            want = zc.decompress_array(n, blob, method, dt)
+        finally:
+            zc._native = zc_native
+        assert got.dtype == np.dtype(dt)
+        assert np.array_equal(got, want), (method, dt)
+
+    for data in cases:
+        # modes 0/1: the payload dtype must match the requested dtype
+        for dt in (np.float64, np.float32):
+            src = data.astype(dt)
+            for method in (0, 1):
+                both(src.size, zc.compress_array(src, method), method, dt)
+        # mode 2 stores f32; decompress to either width
+        blob2 = zc.compress_array(data.astype(np.float64), 2)
+        both(data.size, blob2, 2, np.float64)
+        both(data.size, blob2, 2, np.float32)
+
+
+def test_native_parse_views_own_their_buffer():
+    """parse_create_image returns memoryview slices of the input; they must
+    keep the underlying bytes alive after the caller drops its reference
+    (regression: raw FromMemory views aliased freed memory)."""
+    native = pytest.importorskip("raytrace_native")
+    import gc
+
+    p = synthetic_problem(nx=3, ny=2, na=2, nb=2, nv=3)
+    d = native.parse_create_image(bytes(ser.pack_create_image(p)))
+    gc.collect()  # the temporary bytes object must stay pinned by the views
+    assert bytes(d["euv_blob"])  # reads through the view
