@@ -46,9 +46,10 @@ __all__ = ["FastTables", "pack_fast_tables", "trace_batch_fast", "is_uniform"]
 #: micro-steps executed per inner while round (see fl_body)
 FL_UNROLL = 2
 
-#: when True, trace_batch_fast returns (result, {"l0": .., "fl": ..}) with
-#: the executed outer (cell-fetch) and inner (micro-step) loop round counts
-#: -- a tuning diagnostic, not used in production paths
+#: when True, trace_batch_fast returns (result, {"l0": .., "fl": ..,
+#: "steps": ..}) with the executed outer (cell-fetch) and inner (micro-step)
+#: loop round counts plus the per-lane total micro-step counts [B] -- a
+#: tuning diagnostic, not used in production paths (tools/steps_analysis.py)
 DEBUG_COUNTERS = False
 
 f32 = jnp.float32
@@ -359,6 +360,8 @@ def _segment_walk_fast(seg_idx: int, ft: FastTables, st0, dz0: float,
                 "dndy": rsel(dndyn, dndy), "box2": rsel(box2n, box2),
                 "n_lag": rsel(n0n, n_lag),
                 "act": a1 & (l2_ok | reinit),
+                **({"n_act": s1["n_act"] + a1.astype(jnp.int32)}
+                   if "n_act" in s1 else {}),
             }
 
         def fl_body(s1):
@@ -389,6 +392,7 @@ def _segment_walk_fast(seg_idx: int, ft: FastTables, st0, dz0: float,
             "n_lag": n0_0, "act": l1a0}
         if n_l0 is not None:
             fl_init["n_fl"] = jnp.int32(0)
+            fl_init["n_act"] = st["n_steps"]  # per-lane, carried across segs
         l1 = jax.lax.while_loop(fl_cond, fl_body, fl_init)
 
         sel = lambda p, q: jnp.where(work, p, q)
@@ -406,6 +410,7 @@ def _segment_walk_fast(seg_idx: int, ft: FastTables, st0, dz0: float,
         if n_l0 is not None:
             ret["n_l0"] = n_l0
             ret["n_fl"] = st["n_fl"] + l1["n_fl"]
+            ret["n_steps"] = l1["n_act"]
         return ret
 
     return jax.lax.while_loop(l0_cond, l0_body, dict(st0))
@@ -449,10 +454,12 @@ def trace_batch_fast(rays, N: int, dz0: float, ft: FastTables, method: int,
         if DEBUG_COUNTERS:
             st["n_l0"] = jnp.int32(0)
             st["n_fl"] = jnp.int32(0)
+            st["n_steps"] = _counters.get("steps", zerosi)
         st = _segment_walk_fast(ii, ft, st, dz0, c, use_emis, method)
         if DEBUG_COUNTERS:
             _counters["l0"] = _counters.get("l0", 0) + st["n_l0"]
             _counters["fl"] = _counters.get("fl", 0) + st["n_fl"]
+            _counters["steps"] = st["n_steps"]
         for s in range(N_SUB):
             gvl_all = gvl_all.at[:, ii - 1, s].set(st["out_g"][s])
             evl_all = evl_all.at[:, ii - 1, s].set(st["out_e"][s])
