@@ -460,6 +460,10 @@ def trace_batch_fast(rays, N: int, dz0: float, ft: FastTables, method: int,
             _counters["l0"] = _counters.get("l0", 0) + st["n_l0"]
             _counters["fl"] = _counters.get("fl", 0) + st["n_fl"]
             _counters["steps"] = st["n_steps"]
+            # cumulative per-lane counts after each segment: per-segment
+            # counts are diffs (the pallas kernel's per-tile cost model is
+            # sum over segments of the tile's max, tools/steps_analysis.py)
+            _counters.setdefault("steps_cum", []).append(st["n_steps"])
         for s in range(N_SUB):
             gvl_all = gvl_all.at[:, ii - 1, s].set(st["out_g"][s])
             evl_all = evl_all.at[:, ii - 1, s].set(st["out_e"][s])
