@@ -136,6 +136,17 @@ def analyze(name, problem, method, chunk=65536):
             order = np.argsort(key, kind="stable")
         r, u = tile_cost(steps, order)
         rows.append((pname, r, u, r0 / r))
+    # block-local cost sort: argsort per window of W tiles -- keeps rays
+    # within W*1024 of their natural position, so tile spatial coherence
+    # (the fetch loop's rowid span) survives while divergence still drops
+    for W in (8, 64):
+        win = W * TILE
+        order = np.arange(len(per_ray))
+        for lo in range(0, len(per_ray), win):
+            hi = min(lo + win, len(per_ray))
+            order[lo:hi] = lo + np.argsort(per_ray[lo:hi], kind="stable")
+        r, u = tile_cost(steps, order)
+        rows.append((f"local sort W={W}", r, u, r0 / r))
     # random shuffle (the measured-bad case, sanity anchor)
     rng = np.random.default_rng(7)
     r, u = tile_cost(steps, rng.permutation(len(per_ray)))
@@ -147,17 +158,25 @@ def analyze(name, problem, method, chunk=65536):
 
 
 def main():
-    which = set(sys.argv[1:]) or {"ase"}
+    args = set(sys.argv[1:])
+    save = "--save" in args
+    which = (args - {"--save"}) or {"ase"}
+
+    def _save(tag, steps):
+        if save:
+            np.savez_compressed(f"/tmp/steps_{tag}.npz", steps=steps)
+            print(f"saved /tmp/steps_{tag}.npz")
+
     if "ase" in which:
         p, _, _ = load_input(ASE)
-        analyze("ASE_small (backward)", p, 1, chunk=57344)
+        _save("ase", analyze("ASE_small (backward)", p, 1, chunk=57344))
     if "seed" in which:
         p, _, _ = load_input(SEED)
-        analyze("seed_small (forward)", p, 2)
+        _save("seed", analyze("seed_small (forward)", p, 2))
     if "scale16" in which:
         p, _, _ = load_input(ASE)
         scale_problem(p, 16.0)
-        analyze("ASE scale16", p, 1)
+        _save("scale16", analyze("ASE scale16", p, 1))
 
 
 if __name__ == "__main__":
