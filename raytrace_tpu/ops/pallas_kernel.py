@@ -303,7 +303,7 @@ def _fetch_cells(tab_seg_ref, lane, rowid, work, nch):
 def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
                     tab_ref, gvl_ref, evl_ref, ivl_ref,
                     ex_ref, ey_ref, esx_ref, esy_ref, esz_ref, eesc_ref,
-                    *, pg_meta, N, dz0, c):
+                    nst_ref=None, *, pg_meta, N, dz0, c):
     """Full multi-segment trace for one (8,128) tile of rays.
 
     Loop structure (the flattened form proven in ops/fast_stepper.py): per
@@ -332,6 +332,10 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
     method = pg_meta["method"]
     nslab = pg_meta.get("nslab", 1)
     nonuniform = pg_meta.get("nonuniform", False)
+    # per-lane micro-step counting (the cost-feedback reorder lever's
+    # signal, tools/bench_reorder.py): compile-time flag so the production
+    # variant's hot loop carries nothing extra
+    counting = nst_ref is not None
     # fetched channels: physics (+E0) + the 4 per-cell geometry channels in
     # nonuniform mode; the coordinate rows live one channel past them
     gbase = 16 if use_emis else 12
@@ -385,7 +389,7 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
     absy = absy_used.pop()
 
     def seg_body(i, carry):
-        px, py, sx, sy, sz, escf = carry
+        px, py, sx, sy, sz, escf, nstf = carry
         ii = (jnp.int32(N - 1) - i) if method == 1 else (i + jnp.int32(1))
         x0 = smeta_ref[ii, 0]
         y0 = smeta_ref[ii, 1]
@@ -638,6 +642,8 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
                     "dndy": rsel(dndyn, dndy), "box2": rsel(box2n, box2),
                     "n_lag": rsel(n0n, n_lag),
                     "act": _m(a1 & (l2_ok | reinit)),
+                    **({"nst": jnp.where(a1, s1["nst"] + f32(1.0),
+                                         s1["nst"])} if counting else {}),
                 }
 
             zero = jnp.zeros_like(p_x)
@@ -650,7 +656,8 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
                 "sz": s_z, "z2": zero, "ds": zero,
                 "rx": zero, "ry": zero, "rz": zero, "path": zero,
                 "n0": n0_0, "dndx": dndx_0, "dndy": dndy_0,
-                "box2": box2_0, "n_lag": n0_0, "act": _m(l1a0)})
+                "box2": box2_0, "n_lag": n0_0, "act": _m(l1a0),
+                **({"nst": st["nst"]} if counting else {})})
 
             sel = lambda p, q: jnp.where(work, p, q)
             nz = sel(st["z"] + jnp.abs(l1["pz"]), st["z"])
@@ -666,6 +673,7 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
                 "og0": og[0], "og1": og[1], "og2": og[2],
                 "oe0": oe[0], "oe1": oe[1], "oe2": oe[2],
                 "oi0": oi[0], "oi1": oi[1], "oi2": oi[2],
+                **({"nst": l1["nst"]} if counting else {}),
             }
 
         st0 = {
@@ -675,6 +683,7 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
             "og0": zerosf, "og1": zerosf, "og2": zerosf,
             "oe0": zerosf, "oe1": zerosf, "oe2": zerosf,
             "oi0": zerosf, "oi1": zerosf, "oi2": zerosf,
+            **({"nst": nstf} if counting else {}),
         }
         st = jax.lax.while_loop(l0_cond, l0_body, st0)
         iim1 = ii - jnp.int32(1)
@@ -682,11 +691,12 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
             gvl_ref[pl.ds(iim1, 1), s] = st[f"og{s}"][None]
             evl_ref[pl.ds(iim1, 1), s] = st[f"oe{s}"][None]
             ivl_ref[pl.ds(iim1, 1), s] = st[f"oi{s}"].astype(jnp.int32)[None]
-        return (st["px"], st["py"], st["sx"], st["sy"], st["sz"], st["esc"])
+        return (st["px"], st["py"], st["sx"], st["sy"], st["sz"], st["esc"],
+                st["nst"] if counting else nstf)
 
-    px, py, sx, sy, sz, escf = jax.lax.fori_loop(
+    px, py, sx, sy, sz, escf, nstf = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(nseg), seg_body,
-        (px, py, sx, sy, sz, escf))
+        (px, py, sx, sy, sz, escf, zerosf))
 
     ex_ref[:] = px
     ey_ref[:] = py
@@ -694,11 +704,14 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
     esy_ref[:] = sy
     esz_ref[:] = sz
     eesc_ref[:] = _b(escf).astype(jnp.int32)
+    if counting:
+        nst_ref[:] = nstf.astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("meta_key", "N", "dz0", "c",
-                                              "interpret"))
-def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret):
+                                              "interpret", "counts"))
+def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret,
+                     counts=False):
     pg_meta = dict(meta_key)
     T = rx.shape[0]
     nseg = N - 1
@@ -750,7 +763,8 @@ def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret):
 
     def k(smeta_ref, rx_ref, ry_ref, sx_ref, sy_ref, sz_ref, tab_ref,
           gvl_ref, evl_ref, ivl_ref,
-          ex_ref, ey_ref, esx_ref, esy_ref, esz_ref, eesc_ref):
+          ex_ref, ey_ref, esx_ref, esy_ref, esz_ref, eesc_ref,
+          nst_ref=None):
         # i32 leading index: a bare python 0 traces as i64 under x64 mode,
         # which trips tpu.memref_slice once the segment dim is sliced
         # dynamically inside the kernel
@@ -759,7 +773,8 @@ def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret):
                sy_ref.at[z], sz_ref.at[z], tab_ref,
                gvl_ref.at[z], evl_ref.at[z], ivl_ref.at[z],
                ex_ref.at[z], ey_ref.at[z], esx_ref.at[z], esy_ref.at[z],
-               esz_ref.at[z], eesc_ref.at[z])
+               esz_ref.at[z], eesc_ref.at[z],
+               None if nst_ref is None else nst_ref.at[z])
 
     def _imap_zero(n):
         def f(t):
@@ -784,22 +799,27 @@ def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret):
             jax.ShapeDtypeStruct((T, TILE_ROWS, TILE_LANES), jnp.float32),
             jax.ShapeDtypeStruct((T, TILE_ROWS, TILE_LANES), jnp.float32),
             jax.ShapeDtypeStruct((T, TILE_ROWS, TILE_LANES), jnp.int32),
-        ),
+        ) + ((jax.ShapeDtypeStruct((T, TILE_ROWS, TILE_LANES), jnp.int32),)
+             if counts else ()),
         in_specs=[smeta_spec, ray_spec, ray_spec, ray_spec, ray_spec,
                   ray_spec, tab_spec],
         out_specs=(out_big, out_big, out_big, out_one, out_one, out_one,
-                   out_one, out_one, out_one),
+                   out_one, out_one, out_one)
+        + ((out_one,) if counts else ()),
         interpret=interpret,
     )(smeta, rx, ry, sx, sy, sz, tables)
     return outs
 
 
 def trace_tiles(rays, N: int, dz0: float, pg: PackedGain, method: int,
-                c: float = 0.5, interpret: bool | None = None):
+                c: float = 0.5, interpret: bool | None = None,
+                counts: bool = False):
     """Run the Pallas stepper over [T, 8, 128]-tiled ray batches.
 
     ``rays``: dict of float32 [T, 8, 128] arrays x/y/a/b.
-    Returns (gvl, evl, ivl [T,nseg,3,8,128], exit px/py/sx/sy/sz, escaped).
+    Returns (gvl, evl, ivl [T,nseg,3,8,128], exit px/py/sx/sy/sz, escaped
+    [, per-lane micro-step counts i32 when ``counts`` -- the cost-feedback
+    reorder signal; a separately-compiled variant, zero cost when off]).
 
     ``interpret``: run the kernel through the Pallas interpreter (plain XLA
     ops) instead of Mosaic. Defaults to True off-TPU, which is what lets the
@@ -817,4 +837,4 @@ def trace_tiles(rays, N: int, dz0: float, pg: PackedGain, method: int,
     )
     return _trace_tiles_jit(rays["x"], rays["y"], rays["a"], rays["b"],
                             pg.tables, meta_key, N, float(dz0), float(c),
-                            bool(interpret))
+                            bool(interpret), counts=bool(counts))

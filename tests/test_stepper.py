@@ -146,3 +146,38 @@ def test_exact_stepper_non_uniform_grid():
         want = o.gvl[: p.N - 1].ravel()
         denom = np.maximum(np.abs(want), 1e-6)
         assert np.max(np.abs(gvl[t].ravel() - want) / denom) < 0.05
+
+
+def test_pallas_step_counts_match_fast_census():
+    """The pallas kernel's per-lane micro-step counter (counts=True, the
+    cost-feedback reorder signal) must equal the fast stepper's census
+    counter exactly: the two backends execute identical per-lane step
+    sequences (the lockstep property), so their counts are the same
+    integers, not just statistically close."""
+    from raytrace_tpu.ops import pallas_kernel as pk
+
+    p = synthetic_problem()
+    b = p.euv_beam
+    ft = fast_stepper.pack_fast_tables(p.gain, use_emis=True)
+    pg = pk.pack_gain_tables(p.gain, use_emis=True)
+    rng = np.random.default_rng(3)
+    xs, ys, aa, bb = _sample_rays(p, pk.TILE, rng)
+    rays = {k: jnp.asarray(v) for k, v in zip("xyab", (xs, ys, aa, bb))}
+
+    fast_stepper.DEBUG_COUNTERS = True
+    try:
+        _, ctr = fast_stepper.trace_batch_fast(rays, p.N, b.dz, ft, 1,
+                                               use_emis=True)
+    finally:
+        fast_stepper.DEBUG_COUNTERS = False
+    want = np.asarray(ctr["steps"])
+
+    tiled = {k: v.reshape(1, pk.TILE_ROWS, pk.TILE_LANES)
+             for k, v in rays.items()}
+    outs = pk.trace_tiles(tiled, p.N, b.dz, pg, 1, counts=True)
+    got = np.asarray(outs[-1]).reshape(-1)
+    assert np.array_equal(got, want), (
+        f"count mismatch on {np.sum(got != want)} lanes")
+    # and the counting variant must not perturb the physics outputs
+    outs0 = pk.trace_tiles(tiled, p.N, b.dz, pg, 1)
+    assert np.array_equal(np.asarray(outs[0]), np.asarray(outs0[0]))

@@ -36,10 +36,14 @@ from tools.steps_analysis import ray_entries, ASE, SEED, TILE
 f32 = jnp.float32
 
 
-def orders(per_ray):
+def orders(per_ray, k2=None):
     n = len(per_ray)
     out = {"natural": np.arange(n)}
     out["perfect"] = np.argsort(per_ray, kind="stable")
+    if k2 is not None:
+        # fetch-coherent divergence sort: group by entry y-row (the fetch
+        # rowid on single-slab grids), cost-sorted within each row
+        out["k2+cost"] = np.lexsort((per_ray, k2))
     for W in (8, 64):
         win = W * TILE
         o = np.arange(n)
@@ -100,8 +104,13 @@ def main():
         ("use_emis", pg.use_emis), ("method", method),
         ("nslab", pg.nslab), ("nonuniform", pg.nonuniform))
     beam = problem.euv_beam
+    g1 = problem.gain[1]
+    y1 = np.asarray(g1.y, np.float64)
+    y_eff = np.abs(Y) if y1[0] >= 0 else Y
+    k2 = np.clip(np.ceil((y_eff - y1[0]) / np.diff(y1).mean()).astype(int)
+                 - 1, 0, g1.Ny - 2)
     cases = {}
-    for name, order in orders(per_ray).items():
+    for name, order in orders(per_ray, k2).items():
         cases[name] = tuple(tiled(v, order) for v in (X, Y, A, B_))
     tables = jnp.asarray(pg.tables)
 

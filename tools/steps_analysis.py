@@ -136,6 +136,16 @@ def analyze(name, problem, method, chunk=65536):
             order = np.argsort(key, kind="stable")
         r, u = tile_cost(steps, order)
         rows.append((pname, r, u, r0 / r))
+    # (y-cell, cost) sort: the kernel's fetch rowid is the y-cell index
+    # (single-slab grids), so grouping by entry y-row preserves fetch
+    # coherence perfectly while the within-row cost sort cuts divergence
+    g1 = problem.gain[1]
+    y1 = np.asarray(g1.y, np.float64)
+    y_eff = np.abs(Y) if y1[0] >= 0 else Y
+    k2 = np.clip(np.ceil((y_eff - y1[0]) / np.diff(y1).mean()).astype(int) - 1,
+                 0, g1.Ny - 2)
+    r, u = tile_cost(steps, np.lexsort((per_ray, k2)))
+    rows.append(("sort (k2,cost)", r, u, r0 / r))
     # block-local cost sort: argsort per window of W tiles -- keeps rays
     # within W*1024 of their natural position, so tile spatial coherence
     # (the fetch loop's rowid span) survives while divergence still drops
