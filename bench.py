@@ -64,6 +64,13 @@ def _time_perturbed(create_image, path, method, n, salt, scale=None):
     return times
 
 
+def _drain(it):
+    """Consume a stream executor's output (timing rows only need the
+    wall time; correctness is gated elsewhere)."""
+    for _ in it:
+        pass
+
+
 def _probe_tpu(timeout_s: float = 180.0) -> bool:
     """Pre-flight the tunneled TPU in a throwaway subprocess.
 
@@ -138,23 +145,21 @@ def main():
         if not tpu_ok:
             raise _SkipAux()
         from raytrace_tpu import create_image_stream
-        from raytrace_tpu.testing import perturbed_problems
+        from raytrace_tpu.testing import (perturbed_problems,
+                                          time_stream_rounds)
 
         for _ in create_image_stream(
                 perturbed_problems(REFERENCE_INPUT, 2, salt=99), method):
             pass  # warmup
-        per_call = []
-        for r in range(3):
-            probs = perturbed_problems(REFERENCE_INPUT, 6, salt=r)
-            t0 = time.perf_counter()
-            # depth=4 for short ASE-class calls: extra calls in flight ride
-            # out single-dispatch link-weather spikes (measured A/B at 3 vs
-            # 4 in flight: 4 <= 3 every round, best 0.067 vs 0.069; seeded
-            # is compute-bound and indifferent, so only ASE goes deeper
-            # than the default double buffering)
-            for _ in create_image_stream(probs, method, depth=4):
-                pass
-            per_call.append((time.perf_counter() - t0) / len(probs))
+        # depth=4 for short ASE-class calls: extra calls in flight ride
+        # out single-dispatch link-weather spikes (measured A/B at 3 vs
+        # 4 in flight: 4 <= 3 every round, best 0.067 vs 0.069; seeded
+        # is compute-bound and indifferent, so only ASE goes deeper
+        # than the default double buffering)
+        per_call = time_stream_rounds(
+            REFERENCE_INPUT, 6, 3,
+            lambda probs: _drain(create_image_stream(probs, method,
+                                                     depth=4)))
         stream_stats = {
             "ase_stream_rays_per_sec": round(n_rays / min(per_call), 1),
             "ase_stream_best_seconds_per_call": round(min(per_call), 4),
@@ -188,15 +193,11 @@ def main():
         # serving-mode throughput, seeded (same protocol as ase_stream_*)
         try:
             from raytrace_tpu import create_image_stream
-            from raytrace_tpu.testing import perturbed_problems
+            from raytrace_tpu.testing import time_stream_rounds
 
-            per_call = []
-            for r in range(2):
-                probs = perturbed_problems(SEED_INPUT, 3, salt=r)
-                t0 = time.perf_counter()
-                for _ in create_image_stream(probs, method):
-                    pass
-                per_call.append((time.perf_counter() - t0) / len(probs))
+            per_call = time_stream_rounds(
+                SEED_INPUT, 3, 2,
+                lambda probs: _drain(create_image_stream(probs, method)))
             seed_stats.update({
                 "seed_stream_rays_per_sec": round(7803000 / min(per_call), 1),
                 "seed_stream_best_seconds_per_call": round(min(per_call), 4),
@@ -237,16 +238,12 @@ def main():
         # protocol as the other stream rows)
         try:
             from raytrace_tpu import create_image_stream
-            from raytrace_tpu.testing import perturbed_problems
+            from raytrace_tpu.testing import time_stream_rounds
 
-            per_call = []
-            for r in range(2):
-                probs = perturbed_problems(REFERENCE_INPUT, 4, salt=r,
-                                           scale=16.0)
-                t0 = time.perf_counter()
-                for _ in create_image_stream(probs, method):
-                    pass
-                per_call.append((time.perf_counter() - t0) / len(probs))
+            per_call = time_stream_rounds(
+                REFERENCE_INPUT, 4, 2,
+                lambda probs: _drain(create_image_stream(probs, method)),
+                scale=16.0)
             scale16_stats.update({
                 "scale16_stream_rays_per_sec": round(n16 / min(per_call), 1),
                 "scale16_stream_best_seconds_per_call": round(

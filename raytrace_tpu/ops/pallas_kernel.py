@@ -389,7 +389,10 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
     absy = absy_used.pop()
 
     def seg_body(i, carry):
-        px, py, sx, sy, sz, escf, nstf = carry
+        # the micro-step counter tile joins the carry only when counting,
+        # so the production variant's segment loop threads nothing extra
+        px, py, sx, sy, sz, escf = carry[:6]
+        nstf = carry[6] if counting else None
         ii = (jnp.int32(N - 1) - i) if method == 1 else (i + jnp.int32(1))
         x0 = smeta_ref[ii, 0]
         y0 = smeta_ref[ii, 1]
@@ -691,12 +694,13 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
             gvl_ref[pl.ds(iim1, 1), s] = st[f"og{s}"][None]
             evl_ref[pl.ds(iim1, 1), s] = st[f"oe{s}"][None]
             ivl_ref[pl.ds(iim1, 1), s] = st[f"oi{s}"].astype(jnp.int32)[None]
-        return (st["px"], st["py"], st["sx"], st["sy"], st["sz"], st["esc"],
-                st["nst"] if counting else nstf)
+        return (st["px"], st["py"], st["sx"], st["sy"], st["sz"], st["esc"]
+                ) + ((st["nst"],) if counting else ())
 
-    px, py, sx, sy, sz, escf, nstf = jax.lax.fori_loop(
+    carry = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(nseg), seg_body,
-        (px, py, sx, sy, sz, escf, zerosf))
+        (px, py, sx, sy, sz, escf) + ((zerosf,) if counting else ()))
+    px, py, sx, sy, sz, escf = carry[:6]
 
     ex_ref[:] = px
     ey_ref[:] = py
@@ -705,7 +709,7 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
     esz_ref[:] = sz
     eesc_ref[:] = _b(escf).astype(jnp.int32)
     if counting:
-        nst_ref[:] = nstf.astype(jnp.int32)
+        nst_ref[:] = carry[6].astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("meta_key", "N", "dz0", "c",
@@ -811,6 +815,22 @@ def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret,
     return outs
 
 
+def meta_key_of(pg: PackedGain, method: int) -> tuple:
+    """The hashable static-metadata key that specializes _trace_tiles_jit.
+
+    Single source of truth: benchmark tools (tools/bench_reorder.py) call
+    _trace_tiles_jit directly and must specialize the kernel exactly the
+    way trace_tiles does -- a hand-built copy would silently go stale when
+    PackedGain grows a field."""
+    return (
+        ("x0", pg.x0), ("dxc", pg.dxc), ("y0", pg.y0), ("dyc", pg.dyc),
+        ("nx", pg.nx), ("ny", pg.ny), ("absy", pg.absy),
+        ("range4", tuple(tuple(r) for r in pg.range4)),
+        ("use_emis", pg.use_emis), ("method", method),
+        ("nslab", pg.nslab), ("nonuniform", pg.nonuniform),
+    )
+
+
 def trace_tiles(rays, N: int, dz0: float, pg: PackedGain, method: int,
                 c: float = 0.5, interpret: bool | None = None,
                 counts: bool = False):
@@ -828,13 +848,7 @@ def trace_tiles(rays, N: int, dz0: float, pg: PackedGain, method: int,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    meta_key = (
-        ("x0", pg.x0), ("dxc", pg.dxc), ("y0", pg.y0), ("dyc", pg.dyc),
-        ("nx", pg.nx), ("ny", pg.ny), ("absy", pg.absy),
-        ("range4", tuple(tuple(r) for r in pg.range4)),
-        ("use_emis", pg.use_emis), ("method", method),
-        ("nslab", pg.nslab), ("nonuniform", pg.nonuniform),
-    )
+    meta_key = meta_key_of(pg, method)
     return _trace_tiles_jit(rays["x"], rays["y"], rays["a"], rays["b"],
                             pg.tables, meta_key, N, float(dz0), float(c),
                             bool(interpret), counts=bool(counts))

@@ -13,7 +13,44 @@ from raytrace_tpu.structures import (
     CreateImageProblem, EUVBeam, RayGain, RaySeed, SeedBeam,
 )
 
-__all__ = ["synthetic_problem", "perturbed_problems", "oracle_images"]
+__all__ = ["synthetic_problem", "perturbed_problems", "oracle_images",
+           "physical_gain", "time_stream_rounds"]
+
+
+def time_stream_rounds(path, n_units, rounds, consume, salt0=0, scale=None):
+    """Per-call seconds of a serving-mode stream over fresh work units.
+
+    The shared timing protocol for every ``create_image_stream`` row
+    (bench.py, the CLI ``-stream`` rows): each round builds ``n_units``
+    distinct-tables snapshots via :func:`perturbed_problems` (salt varies
+    per round so factors never repeat), ``consume(units)`` drains the
+    stream, and the round's wall time is divided by the unit count.
+    Returns the list of per-call seconds, one entry per round.
+    """
+    import time
+
+    per_call = []
+    for r in range(rounds):
+        units = perturbed_problems(path, n_units, salt=salt0 + r,
+                                   scale=scale)
+        t0 = time.perf_counter()
+        consume(units)
+        per_call.append((time.perf_counter() - t0) / len(units))
+    return per_call
+
+
+def physical_gain(p: CreateImageProblem) -> CreateImageProblem:
+    """Scale ``p``'s gain to the saturated X-ray-laser regime for long
+    (N > ~5) paths: total exponent ~14 instead of ~57, keeping intensities
+    inside float32 range, which the f32 two-float spectrum requires and
+    every real workload satisfies (the reference accumulates in double and
+    would carry e^57 -- unphysical for a saturated column). The single
+    shared definition: the fuzz/interop gates compare problems scaled in
+    different code paths and depend on the copies being bitwise-identical.
+    """
+    for g in p.gain:
+        g.g0 = (np.asarray(g.g0) * np.float32(0.25)).astype(np.float32)
+    return p
 
 
 def _uniform_grid(lo, hi, n):

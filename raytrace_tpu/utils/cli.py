@@ -167,19 +167,19 @@ def run_tests(filename: str, options: Options) -> int:
 
         if options.stream > 0:
             from raytrace_tpu.models.ray_tracer import create_image_stream
-            from raytrace_tpu.testing import perturbed_problems
+            from raytrace_tpu.testing import time_stream_rounds
 
-            per_call = []
-            for r in range(2):  # two passes -> a min and a spread
-                units = perturbed_problems(filename, options.stream, salt=r,
-                                           scale=options.scale)
-                t0 = time.perf_counter()
+            def consume(units, _m=method):
+                nonlocal n_errors
                 for s_img, s_ang in create_image_stream(
-                        units, method, spectrum_dtype=sdtype):
+                        units, _m, spectrum_dtype=sdtype):
                     if not (np.isfinite(s_img).all()
                             and np.isfinite(s_ang).all()):
                         n_errors += 1
-                per_call.append((time.perf_counter() - t0) / len(units))
+
+            # two rounds -> a min and a spread
+            per_call = time_stream_rounds(filename, options.stream, 2,
+                                          consume, scale=options.scale)
             rows.append((f"{label}+stream",
                          TimingStats.of(_gather_times(per_call))))
 
@@ -203,19 +203,19 @@ def run_tests(filename: str, options: Options) -> int:
                 n_errors += 1
         if options.stream > 0:
             from raytrace_tpu.models.ray_tracer import create_image_stream
-            from raytrace_tpu.testing import perturbed_problems
+            from raytrace_tpu.testing import time_stream_rounds
 
-            per_call = []
-            for r in range(2):
-                units = perturbed_problems(filename, options.stream,
-                                           salt=10 + r, scale=options.scale)
-                t0 = time.perf_counter()
-                for s_img, s_ang in create_image_stream(units, mesh=mesh,
-                                                        spectrum_dtype=sdtype):
+            def consume_mc(units):
+                nonlocal n_errors
+                for s_img, s_ang in create_image_stream(
+                        units, mesh=mesh, spectrum_dtype=sdtype):
                     if not (np.isfinite(s_img).all()
                             and np.isfinite(s_ang).all()):
                         n_errors += 1
-                per_call.append((time.perf_counter() - t0) / len(units))
+
+            per_call = time_stream_rounds(filename, options.stream, 2,
+                                          consume_mc, salt0=10,
+                                          scale=options.scale)
             rows.append((f"multichip[{mesh.size}]+stream",
                          TimingStats.of(_gather_times(per_call))))
 

@@ -306,15 +306,7 @@ def _has_escapes(p, method):
     return False
 
 
-def _physical_gain(p):
-    """Scale the synthetic's g0 to the saturated X-ray-laser regime for
-    N=20 paths (total exponent ~14 instead of ~57): keeps intensities
-    inside float32 range, which the f32 two-float spectrum requires and
-    every real workload satisfies (the reference accumulates in double and
-    would carry e^57 -- unphysical for a saturated column)."""
-    for g in p.gain:
-        g.g0 = (np.asarray(g.g0) * np.float32(0.25)).astype(np.float32)
-    return p
+from raytrace_tpu.testing import physical_gain as _physical_gain  # noqa: E402
 
 
 @pytest.mark.parametrize("backend", ["lax", "lax-exact", "pallas"])

@@ -61,9 +61,13 @@ def main():
     create_image(problem, method)  # warmup / compile
 
     def _perturb(_i):
+        # factor must survive f32 rounding: 1 + 1e-9 rounds to exactly
+        # 1.0f (f32 spacing at 1.0 is ~1.2e-7) and would leave every rep
+        # bitwise identical -- the exact result-cache trap this protocol
+        # exists to avoid. 1 + 1e-5 matches testing.perturbed_problems.
         for g in problem.gain:
             g.g0 = (np.asarray(g.g0, np.float32)
-                    * np.float32(1.000000001))
+                    * np.float32(1.00001)).astype(np.float32)
 
     e2e_best, e2e_med = _best(lambda _: create_image(problem, method), 9,
                               prep=_perturb)

@@ -97,12 +97,7 @@ def main():
         per_ray, X, Y, A, B_ = per_ray[:n], X[:n], Y[:n], A[:n], B_[:n]
     use_emis = method == 1
     pg = pk.pack_gain_tables(problem.gain, use_emis)
-    meta_key = (
-        ("x0", pg.x0), ("dxc", pg.dxc), ("y0", pg.y0), ("dyc", pg.dyc),
-        ("nx", pg.nx), ("ny", pg.ny), ("absy", pg.absy),
-        ("range4", tuple(tuple(r) for r in pg.range4)),
-        ("use_emis", pg.use_emis), ("method", method),
-        ("nslab", pg.nslab), ("nonuniform", pg.nonuniform))
+    meta_key = pk.meta_key_of(pg, method)
     beam = problem.euv_beam
     g1 = problem.gain[1]
     y1 = np.asarray(g1.y, np.float64)

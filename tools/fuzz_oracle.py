@@ -43,7 +43,7 @@ import numpy as np  # noqa: E402
 
 from raytrace_tpu import create_image  # noqa: E402
 from raytrace_tpu.testing import (  # noqa: E402
-    oracle_images, synthetic_problem)
+    oracle_images, physical_gain, synthetic_problem)
 
 #: image-norm tolerance vs the oracle: plain-python IEEE f32 vs XLA's
 #: FMA-contracted f32 flips adaptive step-size decisions near their min()
@@ -157,6 +157,19 @@ _ALT_KW = dict(nx=3, ny=2, na=2, nb=2, nv=2)
 _ALT_SYNC = []
 
 
+_MESH = []
+
+
+def _mesh():
+    """One mesh for the whole sweep: sharding's pipeline cache keys on
+    id(mesh), so a fresh mesh per case would guarantee a recompile even
+    when shapes repeat."""
+    if not _MESH:
+        from raytrace_tpu.parallel.mesh import make_mesh
+        _MESH.append(make_mesh(min(8, len(jax.devices()))))
+    return _MESH[0]
+
+
 def _check_stream(ci, kw, scale_g0, want_lax):
     """The serving-mode executor (create_image_stream) shares the sync
     pipeline code, so with identical inputs it must yield bitwise-equal
@@ -165,8 +178,7 @@ def _check_stream(ci, kw, scale_g0, want_lax):
     from raytrace_tpu import create_image_stream
     p = synthetic_problem(rng=ci, **kw)
     if scale_g0:
-        for g in p.gain:
-            g.g0 = (np.asarray(g.g0) * np.float32(0.25)).astype(np.float32)
+        physical_gain(p)
     alt = synthetic_problem(rng=4242, **_ALT_KW)
     if not _ALT_SYNC:
         _ALT_SYNC.append(create_image(
@@ -190,9 +202,7 @@ def run_case(ci, kw):
         p = synthetic_problem(rng=ci, **kw)
         if p.N > 5:
             # keep long paths in f32 spectrum range (saturated regime)
-            for g in p.gain:
-                g.g0 = (np.asarray(g.g0) * np.float32(0.25)).astype(
-                    np.float32)
+            physical_gain(p)
         want_img, want_ang = oracle_images(p, method)
         if want_img is None:
             print(f"  [{ci}] {kw} -> failure-path config, skipped")
@@ -207,14 +217,10 @@ def run_case(ci, kw):
         for backend, sharded in backends:
             p2 = synthetic_problem(rng=ci, **kw)
             if p2.N > 5:
-                for g in p2.gain:
-                    g.g0 = (np.asarray(g.g0) * np.float32(0.25)).astype(
-                        np.float32)
+                physical_gain(p2)
             if sharded:
-                from raytrace_tpu.parallel.mesh import make_mesh
                 from raytrace_tpu.parallel.sharding import create_image_sharded
-                mesh = make_mesh(min(8, len(jax.devices())))
-                img, ang = create_image_sharded(p2, mesh, backend,
+                img, ang = create_image_sharded(p2, _mesh(), backend,
                                                 chunk_size=1024)
             else:
                 img, ang = create_image(p2, backend, chunk_size=1024)
@@ -285,9 +291,9 @@ def _rss_gb() -> float:
 
 
 def _release_memory():
-    """Every fuzz case has unique shapes (and --sharded builds a fresh mesh
-    per case), so the pipeline caches and jax's jit caches grow one set of
-    compiled CPU executables per case and never hit again; a long sweep
+    """Every fuzz case has unique shapes, so the pipeline caches and jax's
+    jit caches grow one set of compiled CPU executables per case and
+    (random cases) rarely hit again; a long sweep
     exhausted host memory (LLVM 'Cannot allocate memory', then a segfault
     in libgcc unwind). Dropping them between cases costs only re-trace
     time (the on-disk compile cache still serves repeat shapes)."""

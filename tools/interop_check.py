@@ -100,11 +100,9 @@ def main():
         p = synthetic_problem(rng=1234, **kwargs)
         if kwargs.get("N", 3) > 3:
             # saturated-regime gain so the f32 spectrum stays in range over
-            # the long path (see tests _physical_gain note)
-            import numpy as np
-            for g in p.gain:
-                g.g0 = (np.asarray(g.g0) * np.float32(0.25)).astype(
-                    np.float32)
+            # the long path
+            from raytrace_tpu.testing import physical_gain
+            physical_gain(p)
         img, ang = create_image(p, "lax")
         p.image = img
         p.I_ang = ang
