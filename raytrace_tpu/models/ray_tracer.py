@@ -294,6 +294,119 @@ def _make_chunk_indices(cfg: dict):
     return chunk_indices
 
 
+#: cost-feedback reorder window: 8 (8,128) tiles = 8192 rays. The micro-step
+#: census (tools/steps_analysis.py, ROADMAP.md) showed window-local sorts at
+#: this width capture ~all of the perfect-sort ceiling on the divergent
+#: backward-ASE class (1.48x of 1.55x at ASE_small, 1.62x of 1.63x at
+#: scale16) while keeping every ray within 8192 of its natural position
+#: (bounded spatial decoherence for the kernel's cell-fetch locality).
+_REORDER_WINDOW_TILES = 8
+
+
+def _window_perm(costs, window: int):
+    """Window-local stable argsort: a permutation of ``range(len(costs))``
+    that sorts each ``window``-sized block of positions by cost.
+
+    Stable, so uniform costs (e.g. the all-zero feedback of a stream's
+    first call) yield the identity permutation. The tail block is padded
+    with int32-max sentinels, which sort strictly after every real count
+    and land past the real length, so the static ``[:n]`` slice drops
+    exactly them."""
+    n = costs.shape[0]
+    nw = -(-n // window)
+    pad = nw * window - n
+    c = jnp.pad(costs.astype(jnp.int32), (0, pad),
+                constant_values=np.iinfo(np.int32).max)
+    perm = jnp.argsort(c.reshape(nw, window), axis=1)
+    perm = perm + (jnp.arange(nw, dtype=perm.dtype) * window)[:, None]
+    return perm.reshape(-1)[:n]
+
+
+def _make_reorder_pipeline(cfg: dict, trace_fn):
+    """Cost-feedback-reordered pipeline: each chunk's rays are processed in
+    window-local order of the PREVIOUS call's per-ray micro-step counts.
+
+    The pallas kernel's per-tile cost is the max total micro-step count
+    over its 1024 lanes; on the divergent backward-ASE ray class half the
+    vector rounds are idle-lane tail (46.7% natural tile utilization,
+    tools/steps_analysis.py). No static entry proxy predicts the cost
+    (trajectory-dependent), but it is invariant under production-style
+    table perturbation (corr 1.0 measured), so a serving stream can sort
+    call k's rays by call k-1's measured counts -- the feedback loop this
+    pipeline implements, entirely on device (no extra link traffic):
+
+    * extra operand  ``prev_counts [n_chunks, chunk] i32`` (all-zero on the
+      stream's first call -> stable argsort -> natural order),
+    * per chunk: window-local argsort -> permuted stride indices ``it`` ->
+      trace (counts variant) -> the same deposits (order-invariant up to
+      rounding; the reference's atomics make the same trade, SURVEY.md
+      section 5 race detection),
+    * extra outputs: this call's counts scattered back to natural order
+      (the next call's sort key) and the permuted ``it`` per position (so
+      the failure path can still name the physical ray).
+
+    Image semantics vs the natural-order pipeline: identical up to
+    scatter-add reassociation in the per-chunk f32 deposits (measured
+    ~5e-8 relative on synthetics, bounded ~3e-7 at 500k-ray chunks --
+    ops/binning.py:126 -- well under the 5e-6 golden gate); NOT bitwise,
+    which is why ``reorder`` is opt-in on the stream.
+    """
+    from raytrace_tpu.ops import pallas_kernel as pk
+
+    K = cfg["K"]
+    chunk = cfg["chunk"]
+    n_chunks = cfg["n_chunks"]
+    img_rows = cfg["img_rows"]
+    dims = cfg["dims"]
+    Nt = dims[0] * dims[1] * dims[2] * dims[3]
+    offset = cfg["N_start"]
+    skip = cfg["N_parallel"]
+    it_max = Nt // skip
+    window = min(_REORDER_WINDOW_TILES * pk.TILE, chunk)
+    packed = cfg.get("pack_layout") is not None
+
+    @partial(jax.jit, donate_argnums=())
+    def run_call(ray_grids, trace_tables, gv_tables, dseed, beam,
+                 prev_counts):
+        if packed:
+            ray_grids_u, beam_u, dseed_u = unpack_bundle(cfg, ray_grids)
+            if dseed_u is None:
+                dseed_u = dseed
+        else:
+            ray_grids_u, beam_u, dseed_u = ray_grids, beam, dseed
+        if cfg.get("fused_amplify"):
+            gv_tables_u = pallas_amplify.pack_gv(gv_tables)
+        else:
+            gv_tables_u = gv_tables
+        image0 = jnp.zeros((img_rows, K), dtype=jnp.float64)
+        iang0 = jnp.zeros((cfg["na_nb"],), dtype=jnp.float64)
+
+        def body(carry, xs):
+            image_acc, iang_acc, fail_acc = carry
+            ci, pc = xs
+            perm = _window_perm(pc, window)
+            it = (ci.astype(jnp.int64) * chunk) + perm.astype(jnp.int64)
+            ijkm = offset + it * skip
+            valid = (it <= it_max) & (ijkm < Nt)
+            ijkm = jnp.where(valid, ijkm, 0)
+            rays, _ = _chunk_rays(cfg, ijkm, ray_grids_u)
+            res, cnt = trace_fn(rays, trace_tables)
+            img_p, ang_p, code = chunk_post(cfg, ijkm, valid, ray_grids_u,
+                                            res, gv_tables_u, dseed_u,
+                                            beam_u)
+            cnt_nat = jnp.zeros((chunk,), jnp.int32).at[perm].set(cnt)
+            return ((image_acc + img_p, iang_acc + ang_p,
+                     fail_acc | _fail_bits(code)),
+                    (code, cnt_nat, it.astype(jnp.int32)))
+
+        (image, i_ang, fail), (codes, counts, it_all) = jax.lax.scan(
+            body, (image0, iang0, jnp.uint32(0)),
+            (jnp.arange(n_chunks, dtype=jnp.int32), prev_counts))
+        return image, i_ang, fail, codes, counts, it_all
+
+    return run_call
+
+
 def _make_split_pipeline(cfg: dict, trace_fn):
     """Two-dispatch pipeline overlapping the gv upload with the trace.
 
@@ -448,7 +561,7 @@ def _lax_fast_factory(cfg):
     return _make_pipeline(cfg, trace_fn)
 
 
-def make_pallas_trace_fn(cfg):
+def make_pallas_trace_fn(cfg, counts: bool = False):
     """Build the pallas-backend trace_fn from a pipeline cfg.
 
     Shared by the single-device pipeline (_pallas_factory) and the multi-chip
@@ -457,6 +570,10 @@ def make_pallas_trace_fn(cfg):
     (src/RayTraceImage.cpp:396-405). Off-TPU the kernel runs through the
     Pallas interpreter (ops/pallas_kernel.trace_tiles default), so the
     virtual CPU mesh executes the same kernel semantics.
+
+    With ``counts`` the kernel's per-lane micro-step counter variant runs
+    and the trace_fn returns ``(TraceResult, counts[B] int32)`` -- the
+    cost-feedback reorder signal (see create_image_stream's ``reorder``).
     """
     from raytrace_tpu.ops import pallas_kernel as pk
 
@@ -478,8 +595,8 @@ def make_pallas_trace_fn(cfg):
                            range4=meta["range4"], use_emis=use_emis,
                            nslab=meta.get("nslab", 1),
                            nonuniform=meta.get("nonuniform", False))
-        outs = pk.trace_tiles(tiled, N, dz, pg, method, c=c)
-        gvl, evl, ivl, ex, ey, sx, sy, sz, esc = outs
+        outs = pk.trace_tiles(tiled, N, dz, pg, method, c=c, counts=counts)
+        gvl, evl, ivl, ex, ey, sx, sy, sz, esc = outs[:9]
         nseg = max(N - 1, 0)
         flat = lambda t: t.reshape(B)
         f32_ = jnp.float32
@@ -487,13 +604,16 @@ def make_pallas_trace_fn(cfg):
                   .astype(f32_) * f32_(1e3))
         exit_b = (jnp.arctan((sy / sz).reshape(B).astype(jnp.float64))
                   .astype(f32_) * f32_(1e3))
-        return stepper.TraceResult(
+        res = stepper.TraceResult(
             gvl=gvl.transpose(0, 3, 4, 1, 2).reshape(B, nseg, pk.N_SUB),
             evl=evl.transpose(0, 3, 4, 1, 2).reshape(B, nseg, pk.N_SUB),
             ivl=ivl.transpose(0, 3, 4, 1, 2).reshape(B, nseg, pk.N_SUB),
             exit_x=flat(ex), exit_y=flat(ey), exit_a=exit_a, exit_b=exit_b,
             escaped=flat(esc) != 0,
             perp=(sz * sz).reshape(B) < f32_(0.01))
+        if counts:
+            return res, outs[9].reshape(B)
+        return res
 
     return trace_fn
 
@@ -506,6 +626,9 @@ def _pallas_factory(cfg):
     maximum. The TPU analogue of the reference's CUDA path
     (src/RayTraceImageCuda.cu).
     """
+    if cfg.get("reorder"):
+        return _make_reorder_pipeline(
+            cfg, make_pallas_trace_fn(cfg, counts=True))
     return _make_pipeline(cfg, make_pallas_trace_fn(cfg))
 
 
@@ -749,7 +872,8 @@ def prepare_pipeline(problem: CreateImageProblem,
                      compute_method: str = "auto",
                      chunk_size: int | None = None,
                      spectrum_dtype=jnp.float32, c: float = 0.5,
-                     deposit: str = "auto") -> PreparedCall:
+                     deposit: str = "auto",
+                     reorder: bool = False) -> PreparedCall:
     """Validate the problem, pack its tables, resolve the static config and
     fetch (compiling if needed) the cached whole-call pipeline.
 
@@ -757,6 +881,14 @@ def prepare_pipeline(problem: CreateImageProblem,
     the returned pipeline is invoked with the returned operands (inside the
     timed region on purpose: the reference re-uploads per call because the
     production gain tables change every iteration, Readme.txt:43).
+
+    ``reorder`` requests the cost-feedback-reordered pipeline (an extra
+    ``prev_counts`` operand and extra outputs -- see
+    :func:`_make_reorder_pipeline`); it takes effect only where the
+    feedback signal exists (pallas backend, positional-order-free deposits)
+    and is silently off elsewhere -- the same fall-back-to-what-runs policy
+    as the backend envelope checks. Check ``cfg['reorder']`` for what was
+    actually built.
     """
     from raytrace_tpu.ops import pallas_kernel as pk
     cp = prepare_common(problem, compute_method, spectrum_dtype, deposit)
@@ -822,9 +954,16 @@ def prepare_pipeline(problem: CreateImageProblem,
     # two-dispatch upload-overlap pipeline (gv ships during the trace):
     # only when the stacked trace results stay small (ASE-class workloads;
     # the seeded 7.8M-ray stack would be ~0.6 GB for a ~3% win)
+    # cost-feedback reorder: needs the pallas counts variant and deposits
+    # that key on ray attributes, not chunk position (dense deposits rows
+    # positionally). The reorder pipeline is single-jit; it forgoes the
+    # split upload overlap (its targets are compute-bound workloads where
+    # the trace, not the link, dominates).
+    reorder = bool(reorder) and backend == "pallas" and not dense \
+        and n_chunks > 0
     nseg = max(problem.N - 1, 1)
     trace_bytes = n_chunks * chunk * (36 * nseg + 18)
-    split = ((not dense) and n_chunks > 0
+    split = ((not dense) and (not reorder) and n_chunks > 0
              and trace_bytes <= _SPLIT_MAX_BYTES
              and os.environ.get("RAYTRACE_NO_SPLIT") != "1")
     # fused pallas log-gain accumulation for the seeded amplify stage.
@@ -840,7 +979,7 @@ def prepare_pipeline(problem: CreateImageProblem,
                float(scale), str(jnp.dtype(spectrum_dtype)), float(c), chunk,
                dense, bin_deposit, n_chunks, problem.N_start,
                problem.N_parallel, fast_meta, pallas_meta, pack_layout,
-               beam_scalars, seed_f0, fused_amplify, split)
+               beam_scalars, seed_f0, fused_amplify, split, reorder)
     cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                use_emis=use_emis, dims=dims, scale=float(scale),
                spectrum_dtype=spectrum_dtype, c=float(c), dense=dense,
@@ -850,7 +989,7 @@ def prepare_pipeline(problem: CreateImageProblem,
                N_parallel=problem.N_parallel, fast_meta=fast_meta,
                pallas_meta=pallas_meta, pack_layout=pack_layout,
                beam_scalars=beam_scalars, seed_f0=seed_f0,
-               fused_amplify=fused_amplify, split=split)
+               fused_amplify=fused_amplify, split=split, reorder=reorder)
     if cfg_key not in _PIPELINE_CACHE:
         _PIPELINE_CACHE[cfg_key] = BACKENDS[backend](cfg)
     return PreparedCall(
@@ -898,7 +1037,10 @@ def _finalize_call(problem: CreateImageProblem, prep: PreparedCall, outs,
     method, dims, dense = cfg["method"], cfg["dims"], cfg["dense"]
     K, nx, ny = cfg["K"], beam.nx, beam.ny
 
-    image_d, iang_d, fail_acc, codes_all = outs
+    # reorder pipelines append (counts, it) outputs: counts feed the next
+    # stream call; it maps permuted positions back to physical rays
+    image_d, iang_d, fail_acc, codes_all = outs[:4]
+    it_all = outs[5] if len(outs) > 5 else None
     # single blocking readback (each separate device->host fetch pays a
     # link round trip on tunneled devices)
     image, i_ang, fail_bits = jax.device_get((image_d, iang_d, fail_acc))
@@ -908,8 +1050,11 @@ def _finalize_call(problem: CreateImageProblem, prep: PreparedCall, outs,
     if fail_bits != 0:
         failed_rays = []
         codes_flat = np.asarray(codes_all).reshape(-1)
+        its = (np.asarray(it_all).reshape(-1)
+               if it_all is not None else None)
         for bidx in np.nonzero(codes_flat < 0)[0][: err_util.N_FAILED_MAX]:
-            gidx = problem.N_start + int(bidx) * problem.N_parallel
+            stride_it = int(its[bidx]) if its is not None else int(bidx)
+            gidx = problem.N_start + stride_it * problem.N_parallel
             gi, gj, gk, gm = (np.asarray(v) for v in _unflatten_rays(
                 jnp.asarray(gidx), dims))
             failed_rays.append(np.array(
@@ -939,7 +1084,7 @@ def create_image_stream(problems, compute_method: str = "auto",
                         spectrum_dtype=jnp.float32, c: float = 0.5,
                         deposit: str = "auto", depth: int = 2,
                         failed_ray_path: str = "Failed_RayTrace_rays.dat",
-                        mesh=None):
+                        mesh=None, reorder: bool = False):
     """Overlapped execution over a sequence of independent work units.
 
     Yields ``(image, I_ang)`` per problem, exactly as :func:`create_image`
@@ -962,16 +1107,30 @@ def create_image_stream(problems, compute_method: str = "auto",
     With ``mesh`` (a ``jax.sharding.Mesh``), every call runs the
     ray-sharded multi-chip pipeline (``create_image_sharded`` semantics:
     stride decomposition + end-of-call psum) with the same cross-call
-    overlap -- serving mode over the whole mesh.
+    overlap -- serving mode over the whole mesh. ``reorder`` is ignored
+    with a mesh (single-device pipelines only).
+
+    ``reorder`` turns on the cost-feedback ray reorder: each call's rays
+    run in window-local order of the previous call's measured per-ray
+    micro-step counts (see :func:`_make_reorder_pipeline`). Per-ray cost is
+    invariant under production-style table perturbation, so the previous
+    call is a near-perfect sort key for same-shaped work units; the first
+    call (and any shape change) runs in natural order. Opt-in because the
+    permuted deposits reassociate the per-chunk f32 scatter adds --
+    results match the natural-order executor to fp-reassociation level
+    (well under the 5e-6 golden gate), not bitwise.
     """
     if depth < 1:
         raise err_util.RayTraceError("create_image_stream needs depth >= 1")
     from collections import deque
 
+    feedback = {"key": None, "counts": None}
+
     if mesh is None:
         def _prep(problem):
             return prepare_pipeline(problem, compute_method, chunk_size,
-                                    spectrum_dtype, c, deposit)
+                                    spectrum_dtype, c, deposit,
+                                    reorder=reorder)
         _fin = _finalize_call
     else:
         from raytrace_tpu.parallel import sharding
@@ -993,7 +1152,22 @@ def create_image_stream(problems, compute_method: str = "auto",
                 p, pr, o = in_flight.popleft()
                 yield _fin(p, pr, o, failed_ray_path)
             prep = _prep(problem)
-            outs = prep.pipeline(*prep.operands)   # asynchronous dispatch
+            if prep.cfg.get("reorder"):
+                # sort key = the most recently DISPATCHED call's counts
+                # (device-resident; the dependency resolves on device, so
+                # the cross-call upload/readback overlap is unaffected)
+                key = (prep.cfg["n_chunks"], prep.cfg["chunk"],
+                       prep.cfg["dims"], prep.cfg["N_start"],
+                       prep.cfg["N_parallel"])
+                if feedback["key"] == key:
+                    pc = feedback["counts"]
+                else:  # first call / shape change: natural order
+                    pc = jnp.zeros((prep.cfg["n_chunks"], prep.cfg["chunk"]),
+                                   jnp.int32)
+                outs = prep.pipeline(*prep.operands, pc)
+                feedback["key"], feedback["counts"] = key, outs[4]
+            else:
+                outs = prep.pipeline(*prep.operands)  # asynchronous dispatch
             in_flight.append((problem, prep, outs))
         while in_flight:
             p, pr, o = in_flight.popleft()

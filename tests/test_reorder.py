@@ -1,0 +1,164 @@
+"""Cost-feedback ray reorder (create_image_stream(reorder=True)).
+
+The serving-mode lever from the micro-step census (ROADMAP.md): per-ray
+trace cost is invariant under production-style table perturbation, so a
+stream sorts call k's rays window-locally by call k-1's measured per-lane
+micro-step counts. These tests pin the plumbing on the CPU interpreter:
+the permutation math, the counts round trip, and that the reordered
+executor reproduces the synchronous images (up to f64 scatter-add
+reassociation -- the documented non-bitwise trade, SURVEY.md section 5).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytrace_tpu import create_image
+from raytrace_tpu.models import ray_tracer
+from raytrace_tpu.models.ray_tracer import (_window_perm, create_image_stream,
+                                            prepare_pipeline)
+from raytrace_tpu.testing import synthetic_problem
+
+
+def test_window_perm_sorts_within_windows():
+    rng = np.random.default_rng(3)
+    costs = rng.integers(0, 1000, size=20).astype(np.int32)
+    w = 8
+    perm = np.asarray(_window_perm(jnp.asarray(costs), w))
+    # a true permutation of range(n)
+    assert sorted(perm.tolist()) == list(range(20))
+    # window-local: each window maps to itself...
+    for lo in range(0, 20, w):
+        hi = min(lo + w, 20)
+        block = perm[lo:hi]
+        assert set(block.tolist()) == set(range(lo, hi))
+        # ...and is cost-sorted (the ragged tail too: int32-max sentinels
+        # sort strictly after every real count)
+        assert np.all(np.diff(costs[block]) >= 0)
+
+
+def test_window_perm_identity_on_uniform_costs():
+    # stable argsort: the stream's first call (all-zero feedback) must run
+    # in natural order
+    perm = np.asarray(_window_perm(jnp.zeros(24, jnp.int32), 8))
+    assert np.array_equal(perm, np.arange(24))
+
+
+def _reorder_prep(p, **kw):
+    prep = prepare_pipeline(p, "pallas", chunk_size=2048, reorder=True, **kw)
+    assert prep.cfg["reorder"], "pallas problem should build the reorder pipeline"
+    return prep
+
+
+def test_reorder_pipeline_it_is_window_sorted_by_feedback():
+    """Feed a synthetic cost pattern and check the pipeline really processes
+    stride indices in window-local cost order, with this call's counts
+    scattered back to natural positions (the next call's key)."""
+    p = synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6)
+    prep = _reorder_prep(p)
+    n_chunks, chunk = prep.cfg["n_chunks"], prep.cfg["chunk"]
+    rng = np.random.default_rng(11)
+    pc = rng.integers(0, 500, size=(n_chunks, chunk)).astype(np.int32)
+    outs = prep.pipeline(*prep.operands, jnp.asarray(pc))
+    assert len(outs) == 6
+    counts, it_all = np.asarray(outs[4]), np.asarray(outs[5])
+    window = min(ray_tracer._REORDER_WINDOW_TILES * 1024, chunk)
+    for ci in range(n_chunks):
+        it = it_all[ci]
+        # every chunk still covers exactly its natural stride indices
+        assert sorted(it.tolist()) == list(range(ci * chunk,
+                                                 (ci + 1) * chunk))
+        for lo in range(0, chunk, window):
+            blk = it[lo:lo + window] - ci * chunk
+            assert np.all(np.diff(pc[ci][blk]) >= 0)
+    # the counts output is in NATURAL order: re-running with it as feedback
+    # must sort positions by it, and real traces take >= 1 micro-step
+    assert counts.shape == (n_chunks, chunk)
+    assert counts.min() >= 1
+
+
+#: the reordered deposits reassociate the per-chunk f32 scatter adds
+#: (ops/binning.py:126); measured ~5e-8 relative on these synthetics, and
+#: the documented bound is ~3e-7 at 500k-ray chunks -- well under the
+#: reference's 5e-6 golden gate, which is the semantic contract here
+_REASSOC_TOL = 2e-6
+
+
+def _distinct_units(n, salt, **kw):
+    """n same-shape work units with genuinely distinct gain tables (the
+    serving-mode shape: production perturbs the tables every iteration)."""
+    units = []
+    for i in range(n):
+        p = synthetic_problem(**kw)
+        f = np.float32(1.0 + 1e-3 * (salt + i))
+        for g in p.gain:
+            g.g0 = (np.asarray(g.g0, np.float32) * f).astype(np.float32)
+        units.append(p)
+    return units
+
+
+def test_stream_reorder_matches_sync():
+    """Reordered serving results == synchronous results up to f32
+    deposit reassociation (well below the 5e-6 golden gate)."""
+    kw = dict(nx=8, ny=5, na=5, nb=4, nv=6)
+    units = _distinct_units(3, 1, **kw)
+    want = [create_image(p, "pallas", chunk_size=2048)
+            for p in _distinct_units(3, 1, **kw)]
+    got = list(create_image_stream(units, "pallas", chunk_size=2048,
+                                   reorder=True))
+    assert len(got) == len(want)
+    # first call = natural order (all-zero feedback): bitwise identical
+    assert np.array_equal(got[0][0], want[0][0])
+    assert np.array_equal(got[0][1], want[0][1])
+    for (gi, ga), (wi, wa) in zip(got, want):
+        assert (np.linalg.norm(gi - wi)
+                <= _REASSOC_TOL * max(np.linalg.norm(wi), 1e-300))
+        assert (np.linalg.norm(ga - wa)
+                <= _REASSOC_TOL * max(np.linalg.norm(wa), 1e-300))
+
+
+def test_stream_reorder_seeded_matches_sync():
+    kw = dict(nx=8, ny=5, na=5, nb=4, nv=6, seeded=True)
+    units = _distinct_units(2, 7, **kw)
+    want = [create_image(p, "pallas", chunk_size=2048)
+            for p in _distinct_units(2, 7, **kw)]
+    got = list(create_image_stream(units, "pallas", chunk_size=2048,
+                                   reorder=True))
+    for (gi, ga), (wi, wa) in zip(got, want):
+        assert (np.linalg.norm(gi - wi)
+                <= _REASSOC_TOL * max(np.linalg.norm(wi), 1e-300))
+        assert (np.linalg.norm(ga - wa)
+                <= _REASSOC_TOL * max(np.linalg.norm(wa), 1e-300))
+
+
+def test_reorder_falls_back_off_pallas():
+    """Off the pallas envelope there is no counts signal: the flag must be
+    silently off (same policy as the backend envelope fallbacks), and the
+    stream must still work."""
+    p = synthetic_problem(nx=5, ny=3, na=4, nb=3, nv=5)
+    prep = prepare_pipeline(p, "lax", reorder=True)
+    assert not prep.cfg["reorder"]
+    outs = list(create_image_stream(
+        [synthetic_problem(rng=7, nx=5, ny=3, na=4, nb=3, nv=5)], "lax",
+        reorder=True))
+    assert len(outs) == 1 and np.isfinite(outs[0][0]).all()
+
+
+def test_reorder_stride_partition_sums_to_full():
+    """The stride contract survives reordering: a 2-way N_start/N_parallel
+    partition, each half streamed with reorder, sums to the full image."""
+    full = create_image(synthetic_problem(nx=8, ny=5, na=5, nb=4,
+                                          nv=6), "pallas", chunk_size=2048)
+    parts = []
+    for k in range(2):
+        units = []
+        for r in range(2):  # two units so the second uses real feedback
+            pk_ = synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6)
+            pk_.N_start, pk_.N_parallel = k, 2
+            units.append(pk_)
+        outs = list(create_image_stream(units, "pallas", chunk_size=2048,
+                                        reorder=True))
+        parts.append(outs[1])  # the feedback-sorted call
+    img = parts[0][0] + parts[1][0]
+    assert (np.linalg.norm(img - full[0])
+            <= _REASSOC_TOL * np.linalg.norm(full[0]))
