@@ -71,30 +71,15 @@ def _drain(it):
         pass
 
 
-def _probe_tpu(timeout_s: float = 180.0) -> bool:
-    """Pre-flight the tunneled TPU in a throwaway subprocess.
-
-    The tunnel can hang outright (even ``jax.devices()`` blocks, ROADMAP.md
-    "Benchmarking on this rig"); a hung bench records nothing. Probe device
-    init + one tiny dispatch under a hard timeout; on failure the benchmark
-    runs on CPU and says so in the JSON rather than hanging forever."""
-    import subprocess
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "assert jax.default_backend() == 'tpu';"
-             "jnp.ones((8, 128)).sum().block_until_ready()"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
 def main():
     import jax
 
-    tpu_ok = _probe_tpu()
+    # pre-flight in a subprocess: a down tunnel can hang even
+    # jax.devices(); on failure the benchmark runs on CPU and says so in
+    # the JSON rather than hanging forever (raytrace_tpu.testing.probe_tpu)
+    from raytrace_tpu.testing import probe_tpu
+
+    tpu_ok = probe_tpu()
     if not tpu_ok:
         # must run before backend init; the env-var spelling is ignored
         # once the TPU plugin is importable (see tests/conftest.py)

@@ -14,7 +14,31 @@ from raytrace_tpu.structures import (
 )
 
 __all__ = ["synthetic_problem", "perturbed_problems", "oracle_images",
-           "physical_gain", "time_stream_rounds"]
+           "physical_gain", "time_stream_rounds", "probe_tpu"]
+
+
+def probe_tpu(timeout_s: float = 180.0) -> bool:
+    """Pre-flight the tunneled TPU in a throwaway subprocess.
+
+    A down tunnel can make even ``jax.default_backend()`` HANG for many
+    minutes or raise an axon init error (both observed; ROADMAP.md
+    "Benchmarking on this rig"), so any harness that wants a CPU fallback
+    must probe device init + one tiny dispatch under a hard timeout BEFORE
+    touching jax in its own process. Shared by bench.py and the fuzz
+    harness."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "assert jax.default_backend() == 'tpu';"
+             "jnp.ones((8, 128)).sum().block_until_ready()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def time_stream_rounds(path, n_units, rounds, consume, salt0=0, scale=None):

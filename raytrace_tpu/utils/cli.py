@@ -27,6 +27,12 @@ Usage (mirrors the reference flags, Readme.txt:42-59 / CreateImageHelpers.h:50-9
                                  row (the tables are perturbed per call).
                                  No reference analogue -- its harness
                                  times synchronous calls.
+      -reorder                   with -stream: sort each call's rays by
+                                 the previous call's measured per-ray
+                                 micro-step counts (the cost-feedback
+                                 reorder; pallas backend only, results
+                                 match sync to f32-reassociation level
+                                 instead of bitwise)
       -nprocs=P                  replicated multi-process benchmark: spawn a
                                  local P-process group (the ``mpirun -np P``
                                  workstation analogue, Readme.txt:43). Each
@@ -83,6 +89,7 @@ class Options:
         self.spectrum = "f32"
         self.nprocs = 1
         self.stream = 0
+        self.reorder = False
         self.files: list[str] = []
         for arg in argv:
             if arg.startswith("-methods="):
@@ -99,6 +106,8 @@ class Options:
                 self.nprocs = int(arg.split("=", 1)[1])
             elif arg.startswith("-stream="):
                 self.stream = int(arg.split("=", 1)[1])
+            elif arg == "-reorder":
+                self.reorder = True
             elif arg.startswith("-"):
                 raise SystemExit(f"Unknown option: {arg}")
             else:
@@ -172,7 +181,8 @@ def run_tests(filename: str, options: Options) -> int:
             def consume(units, _m=method):
                 nonlocal n_errors
                 for s_img, s_ang in create_image_stream(
-                        units, _m, spectrum_dtype=sdtype):
+                        units, _m, spectrum_dtype=sdtype,
+                        reorder=options.reorder):
                     if not (np.isfinite(s_img).all()
                             and np.isfinite(s_ang).all()):
                         n_errors += 1
@@ -180,7 +190,8 @@ def run_tests(filename: str, options: Options) -> int:
             # two rounds -> a min and a spread
             per_call = time_stream_rounds(filename, options.stream, 2,
                                           consume, scale=options.scale)
-            rows.append((f"{label}+stream",
+            tag = "+stream+reorder" if options.reorder else "+stream"
+            rows.append((f"{label}{tag}",
                          TimingStats.of(_gather_times(per_call))))
 
     if multichip:

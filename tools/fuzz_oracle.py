@@ -36,7 +36,12 @@ if SHARDED:
 
 import jax  # noqa: E402
 
-if SHARDED or jax.default_backend() != "tpu":
+from raytrace_tpu.testing import probe_tpu  # noqa: E402
+
+# a down tunnel makes jax.default_backend() hang for minutes or raise an
+# axon init error (both observed), so probe in a subprocess under a hard
+# timeout and route the sweep to CPU unless the TPU actually answers
+if SHARDED or not probe_tpu():
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
@@ -170,7 +175,7 @@ def _mesh():
     return _MESH[0]
 
 
-def _check_stream(ci, kw, scale_g0, want_lax):
+def _check_stream(ci, kw, scale_g0, want_lax, want_pallas=None):
     """The serving-mode executor (create_image_stream) shares the sync
     pipeline code, so with identical inputs it must yield bitwise-equal
     images -- both for the case's own problem and for a second in-flight
@@ -192,6 +197,28 @@ def _check_stream(ci, kw, scale_g0, want_lax):
             and np.array_equal(outs[1][1], _ALT_SYNC[0][1])):
         print(f"  STREAM [{ci}] interleaved alt problem != its sync result")
         bad += 1
+    if want_pallas is not None:
+        # cost-feedback reorder arm: two same-shaped units; call 1 runs in
+        # natural order (bitwise), call 2 in feedback order -- both must
+        # match sync pallas to deposit-reassociation level (the only
+        # difference a permutation can make: intensities are summed into
+        # the same bins in a different order). Off the pallas envelope the
+        # flag is inert and the gate degenerates to near-bitwise.
+        def mkp():
+            q = synthetic_problem(rng=ci, **kw)
+            if scale_g0:
+                physical_gain(q)
+            return q
+
+        routs = list(create_image_stream([mkp(), mkp()], "pallas",
+                                         chunk_size=1024, reorder=True))
+        for k, (rimg, _rang) in enumerate(routs):
+            d = (np.linalg.norm(np.asarray(rimg).reshape(-1) - want_pallas)
+                 / max(np.linalg.norm(want_pallas), 1e-300))
+            if not (d <= 1e-5 or np.linalg.norm(want_pallas) == 0):
+                print(f"  REORDER [{ci}] call {k} vs sync pallas {kw} "
+                      f"rel={d:.2e}")
+                bad += 1
     return bad
 
 
@@ -272,7 +299,8 @@ def run_case(ci, kw):
                           f"rel={d:.2e}")
                     bad += 1
         if STREAM:
-            bad += _check_stream(ci, kw, p.N > 5, got["lax"])
+            bad += _check_stream(ci, kw, p.N > 5, got["lax"],
+                                 got.get("pallas"))
     except Exception as e:
         print(f"  CRASH [{ci}] {kw} -> {type(e).__name__}: {str(e)[:160]}")
         bad += 1
