@@ -275,8 +275,10 @@ def _fail_bits(code):
 def _make_chunk_indices(cfg: dict):
     """On-device ray-index generation for chunk ``ci`` under the stride
     contract (RayTraceImage.cpp:300-328) -- the single source of the
-    it/ijkm/valid logic shared by the single-jit and split pipelines.
-    Returns ``chunk_indices(ci) -> (ijkm, valid)``."""
+    it/ijkm/valid logic shared by the single-jit, split, and reorder
+    pipelines. Returns ``chunk_indices(ci, perm=None) -> (ijkm, valid,
+    it)``; ``perm`` optionally permutes the chunk's within-chunk positions
+    (the cost-feedback reorder)."""
     dims = cfg["dims"]
     Nt = dims[0] * dims[1] * dims[2] * dims[3]
     offset = cfg["N_start"]
@@ -284,12 +286,13 @@ def _make_chunk_indices(cfg: dict):
     chunk = cfg["chunk"]
     it_max = Nt // skip  # last valid stride index (RayTraceImage.cpp:304)
 
-    def chunk_indices(ci):
-        it = ci.astype(jnp.int64) * chunk + jnp.arange(chunk,
-                                                       dtype=jnp.int64)
+    def chunk_indices(ci, perm=None):
+        pos = jnp.arange(chunk, dtype=jnp.int64) if perm is None \
+            else perm.astype(jnp.int64)
+        it = ci.astype(jnp.int64) * chunk + pos
         ijkm = offset + it * skip
         valid = (it <= it_max) & (ijkm < Nt)
-        return jnp.where(valid, ijkm, 0), valid
+        return jnp.where(valid, ijkm, 0), valid, it
 
     return chunk_indices
 
@@ -357,13 +360,9 @@ def _make_reorder_pipeline(cfg: dict, trace_fn):
     chunk = cfg["chunk"]
     n_chunks = cfg["n_chunks"]
     img_rows = cfg["img_rows"]
-    dims = cfg["dims"]
-    Nt = dims[0] * dims[1] * dims[2] * dims[3]
-    offset = cfg["N_start"]
-    skip = cfg["N_parallel"]
-    it_max = Nt // skip
     window = min(_REORDER_WINDOW_TILES * pk.TILE, chunk)
     packed = cfg.get("pack_layout") is not None
+    chunk_indices = _make_chunk_indices(cfg)
 
     @partial(jax.jit, donate_argnums=())
     def run_call(ray_grids, trace_tables, gv_tables, dseed, beam,
@@ -385,16 +384,16 @@ def _make_reorder_pipeline(cfg: dict, trace_fn):
             image_acc, iang_acc, fail_acc = carry
             ci, pc = xs
             perm = _window_perm(pc, window)
-            it = (ci.astype(jnp.int64) * chunk) + perm.astype(jnp.int64)
-            ijkm = offset + it * skip
-            valid = (it <= it_max) & (ijkm < Nt)
-            ijkm = jnp.where(valid, ijkm, 0)
+            ijkm, valid, it = chunk_indices(ci, perm)
             rays, _ = _chunk_rays(cfg, ijkm, ray_grids_u)
             res, cnt = trace_fn(rays, trace_tables)
             img_p, ang_p, code = chunk_post(cfg, ijkm, valid, ray_grids_u,
                                             res, gv_tables_u, dseed_u,
                                             beam_u)
             cnt_nat = jnp.zeros((chunk,), jnp.int32).at[perm].set(cnt)
+            # it rides along so the (rare) failure path can name physical
+            # rays; 4 B/ray of HBM writes (~40 us at seeded scale) that is
+            # never fetched over the link unless a ray fails
             return ((image_acc + img_p, iang_acc + ang_p,
                      fail_acc | _fail_bits(code)),
                     (code, cnt_nat, it.astype(jnp.int32)))
@@ -429,7 +428,7 @@ def _make_split_pipeline(cfg: dict, trace_fn):
         ray_grids_u, _beam, _dseed = unpack_bundle(cfg, pack)
 
         def body(_, ci):
-            ijkm, _valid = chunk_indices(ci)
+            ijkm, _valid, _it = chunk_indices(ci)
             res = chunk_trace(cfg, trace_fn, ijkm, ray_grids_u, trace_tables)
             return (), res
 
@@ -449,7 +448,7 @@ def _make_split_pipeline(cfg: dict, trace_fn):
         def body(carry, xs):
             image_acc, iang_acc, fail_acc = carry
             ci, res = xs
-            ijkm, valid = chunk_indices(ci)
+            ijkm, valid, _it = chunk_indices(ci)
             img_p, ang_p, code = chunk_post(cfg, ijkm, valid, ray_grids_u,
                                             res, gv_tables, dseed_u, beam_u)
             return ((image_acc + img_p, iang_acc + ang_p,
@@ -509,7 +508,7 @@ def _make_pipeline(cfg: dict, trace_fn):
 
         def body(carry, ci):
             image_acc, iang_acc, fail_acc = carry
-            ijkm, valid = chunk_indices(ci)
+            ijkm, valid, _it = chunk_indices(ci)
             img_p, ang_p, code = chunk_core(cfg, trace_fn, ijkm, valid,
                                             ray_grids_u, trace_tables,
                                             gv_tables_u, dseed_u, beam_u)
@@ -1038,9 +1037,11 @@ def _finalize_call(problem: CreateImageProblem, prep: PreparedCall, outs,
     K, nx, ny = cfg["K"], beam.nx, beam.ny
 
     # reorder pipelines append (counts, it) outputs: counts feed the next
-    # stream call; it maps permuted positions back to physical rays
+    # stream call; it maps permuted positions back to physical rays. Keyed
+    # on the cfg (not tuple length) so a future >4-output variant cannot
+    # be silently misread as permuted indices.
     image_d, iang_d, fail_acc, codes_all = outs[:4]
-    it_all = outs[5] if len(outs) > 5 else None
+    it_all = outs[5] if prep.cfg.get("reorder") else None
     # single blocking readback (each separate device->host fetch pays a
     # link round trip on tunneled devices)
     image, i_ang, fail_bits = jax.device_get((image_d, iang_d, fail_acc))

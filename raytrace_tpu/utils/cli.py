@@ -112,6 +112,9 @@ class Options:
                 raise SystemExit(f"Unknown option: {arg}")
             else:
                 self.files.append(arg)
+        if self.reorder and self.stream <= 0:
+            raise SystemExit("-reorder requires -stream=N (it reorders the "
+                             "serving stream's rays)")
 
 
 def run_tests(filename: str, options: Options) -> int:
@@ -175,7 +178,8 @@ def run_tests(filename: str, options: Options) -> int:
         n_errors += stability_errors(stats)
 
         if options.stream > 0:
-            from raytrace_tpu.models.ray_tracer import create_image_stream
+            from raytrace_tpu.models.ray_tracer import (create_image_stream,
+                                                        prepare_pipeline)
             from raytrace_tpu.testing import time_stream_rounds
 
             def consume(units, _m=method):
@@ -190,7 +194,14 @@ def run_tests(filename: str, options: Options) -> int:
             # two rounds -> a min and a spread
             per_call = time_stream_rounds(filename, options.stream, 2,
                                           consume, scale=options.scale)
-            tag = "+stream+reorder" if options.reorder else "+stream"
+            # label by what actually EXECUTED: -reorder is silently inert
+            # off the pallas envelope (prepare_pipeline's fallback policy),
+            # and a row claiming a reorder measurement that never ran
+            # could wrongly justify flipping the default
+            ran_reorder = options.reorder and prepare_pipeline(
+                problem, method, spectrum_dtype=sdtype,
+                reorder=True).cfg["reorder"]
+            tag = "+stream+reorder" if ran_reorder else "+stream"
             rows.append((f"{label}{tag}",
                          TimingStats.of(_gather_times(per_call))))
 

@@ -135,3 +135,26 @@ def test_cli_stream_row(golden_file, capsys):
     assert rc == 0, out
     assert "lax+stream" in out
     assert "All tests passed" in out
+
+
+def test_cli_reorder_requires_stream():
+    with pytest.raises(SystemExit):
+        cli.Options(["-reorder", "x.dat"])
+
+
+def test_cli_reorder_label_reflects_execution(golden_file, capsys):
+    """The row says +reorder only when the reorder actually executed: on
+    the lax backend the flag is silently inert (no counts signal), so the
+    row must stay '+stream' -- a mislabeled row could wrongly justify
+    flipping the default the ROADMAP gates on this measurement."""
+    rc = cli.main(["-methods=lax", "-iterations=1", "-stream=2", "-reorder",
+                   golden_file])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "lax+stream" in out and "+stream+reorder" not in out
+
+    rc = cli.main(["-methods=pallas", "-iterations=1", "-stream=2",
+                   "-reorder", golden_file])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "pallas+stream+reorder" in out

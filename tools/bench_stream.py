@@ -29,6 +29,11 @@ from raytrace_tpu.testing import perturbed_problems  # noqa: E402
 
 
 def main():
+    known = ("--scale=", "--depth=", "--reorder", "--no-seq")
+    for a in sys.argv[1:]:
+        if a.startswith("--") and not any(
+                a == k or a.startswith(k) for k in known):
+            raise SystemExit(f"Unknown option: {a} (known: {known})")
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     path = pos[0] if pos else "/root/reference/ASE_small.dat"
     n = int(pos[1]) if len(pos) > 1 else 8

@@ -213,9 +213,11 @@ def _check_stream(ci, kw, scale_g0, want_lax, want_pallas=None):
         routs = list(create_image_stream([mkp(), mkp()], "pallas",
                                          chunk_size=1024, reorder=True))
         for k, (rimg, _rang) in enumerate(routs):
-            d = (np.linalg.norm(np.asarray(rimg).reshape(-1) - want_pallas)
-                 / max(np.linalg.norm(want_pallas), 1e-300))
-            if not (d <= 1e-5 or np.linalg.norm(want_pallas) == 0):
+            got_r = np.asarray(rimg).reshape(-1)
+            n0 = np.linalg.norm(want_pallas)
+            d = np.linalg.norm(got_r - want_pallas) / max(n0, 1e-300)
+            if not (d <= 1e-5
+                    or (n0 == 0 and np.linalg.norm(got_r) == 0)):
                 print(f"  REORDER [{ci}] call {k} vs sync pallas {kw} "
                       f"rel={d:.2e}")
                 bad += 1
