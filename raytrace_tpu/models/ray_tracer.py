@@ -1108,8 +1108,9 @@ def create_image_stream(problems, compute_method: str = "auto",
     With ``mesh`` (a ``jax.sharding.Mesh``), every call runs the
     ray-sharded multi-chip pipeline (``create_image_sharded`` semantics:
     stride decomposition + end-of-call psum) with the same cross-call
-    overlap -- serving mode over the whole mesh. ``reorder`` is ignored
-    with a mesh (single-device pipelines only).
+    overlap -- serving mode over the whole mesh. ``reorder`` composes:
+    each shard sorts its own rays by its own previous counts (the feedback
+    arrays stay device-sharded; nothing extra crosses ICI or the link).
 
     ``reorder`` turns on the cost-feedback ray reorder: each call's rays
     run in window-local order of the previous call's measured per-ray
@@ -1139,7 +1140,7 @@ def create_image_stream(problems, compute_method: str = "auto",
         def _prep(problem):
             return sharding.prepare_sharded(problem, mesh, compute_method,
                                             chunk_size, spectrum_dtype, c,
-                                            deposit)
+                                            deposit, reorder=reorder)
         _fin = sharding._finalize_sharded
 
     in_flight = deque()

@@ -47,6 +47,14 @@ def make_sharded_pipeline(cfg: dict, trace_fn, mesh: Mesh):
     Each device scans its chunks with device-strided on-device ray indices
     (it = ci*chunk + d + j*D inside chunk windows), accumulating partial
     images; one psum reduces at the end (the MPI_Allreduce analogue).
+
+    With ``cfg['reorder']`` the cost-feedback reorder runs PER DEVICE: each
+    shard window-sorts its own per-chunk positions by its own previous-call
+    counts (ray_tracer._make_reorder_pipeline semantics nested inside the
+    device stride), takes a [n_chunks, chunk]-global ``prev_counts`` operand
+    sharded over the ray axis, and returns (counts, it) extra outputs with
+    the same sharding -- the feedback loop never crosses devices or the
+    link.
     """
     D = mesh.size
     dims = cfg["dims"]
@@ -58,8 +66,14 @@ def make_sharded_pipeline(cfg: dict, trace_fn, mesh: Mesh):
     n_chunks = cfg["n_chunks"]
     K = cfg["K"]
     it_max = Nt // skip
+    reorder = cfg.get("reorder", False)
+    if reorder:
+        from raytrace_tpu.models.ray_tracer import (_REORDER_WINDOW_TILES,
+                                                    _window_perm)
+        from raytrace_tpu.ops import pallas_kernel as pk
+        window = min(_REORDER_WINDOW_TILES * pk.TILE, per_dev)
 
-    def worker(pack, trace_tables, gv_tables, dseed):
+    def worker(pack, trace_tables, gv_tables, dseed, prev_counts=None):
         d = jax.lax.axis_index(RAY_AXIS).astype(jnp.int64)
         ray_grids, beam, dseed_u = ray_tracer.unpack_bundle(cfg, pack)
         if dseed_u is None:
@@ -70,34 +84,55 @@ def make_sharded_pipeline(cfg: dict, trace_fn, mesh: Mesh):
         image0 = jnp.zeros((cfg["img_cells"], K), dtype=jnp.float64)
         iang0 = jnp.zeros((cfg["na_nb"],), dtype=jnp.float64)
 
-        def body(carry, ci):
+        def body(carry, xs):
             image_acc, iang_acc, fail3 = carry
-            it = (ci.astype(jnp.int64) * chunk + d
-                  + jnp.arange(per_dev, dtype=jnp.int64) * D)
+            if reorder:
+                ci, pc = xs
+                perm = _window_perm(pc, window)
+                pos = perm.astype(jnp.int64)
+            else:
+                ci = xs
+                pos = jnp.arange(per_dev, dtype=jnp.int64)
+            it = ci.astype(jnp.int64) * chunk + d + pos * D
             ijkm = offset + it * skip
             valid = (it <= it_max) & (ijkm < Nt)
             ijkm = jnp.where(valid, ijkm, 0)
-            img_p, ang_p, code = ray_tracer.chunk_core(
-                cfg, trace_fn, ijkm, valid, ray_grids, trace_tables,
-                gv_tables, dseed_u, beam)
+            if reorder:
+                rays, _ = ray_tracer._chunk_rays(cfg, ijkm, ray_grids)
+                res, cnt = trace_fn(rays, trace_tables)
+                img_p, ang_p, code = ray_tracer.chunk_post(
+                    cfg, ijkm, valid, ray_grids, res, gv_tables, dseed_u,
+                    beam)
+                cnt_nat = jnp.zeros((per_dev,), jnp.int32).at[perm].set(cnt)
+                ys = (code, cnt_nat, it.astype(jnp.int32))
+            else:
+                img_p, ang_p, code = ray_tracer.chunk_core(
+                    cfg, trace_fn, ijkm, valid, ray_grids, trace_tables,
+                    gv_tables, dseed_u, beam)
+                ys = code
             bits3 = jnp.stack([jnp.any(code == -1), jnp.any(code == -2),
                                jnp.any(code == -3)]).astype(jnp.int32)
-            return (image_acc + img_p, iang_acc + ang_p, fail3 + bits3), code
+            return (image_acc + img_p, iang_acc + ang_p, fail3 + bits3), ys
 
-        (image, i_ang, fail3), codes = jax.lax.scan(
+        xs = jnp.arange(n_chunks, dtype=jnp.int32)
+        (image, i_ang, fail3), ys = jax.lax.scan(
             body, (image0, iang0, jnp.zeros((3,), jnp.int32)),
-            jnp.arange(n_chunks, dtype=jnp.int32))
+            (xs, prev_counts) if reorder else xs)
         # single end-of-call image reduction over ICI -- the psum analogue of
         # the reference's MPI_Allreduce(DOUBLE, SUM)
         image = jax.lax.psum(image, RAY_AXIS)
         i_ang = jax.lax.psum(i_ang, RAY_AXIS)
         fail3 = jax.lax.psum(fail3, RAY_AXIS)
-        return image, i_ang, fail3, codes
+        if reorder:
+            codes, counts, it_all = ys
+            return image, i_ang, fail3, codes, counts, it_all
+        return image, i_ang, fail3, ys
 
+    sh = P(None, RAY_AXIS)
     sharded = shard_map(
         worker, mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
-        out_specs=(P(), P(), P(), P(None, RAY_AXIS)),
+        in_specs=(P(), P(), P(), P()) + ((sh,) if reorder else ()),
+        out_specs=(P(), P(), P(), sh) + ((sh, sh) if reorder else ()),
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -118,7 +153,8 @@ def prepare_sharded(problem: CreateImageProblem, mesh: Mesh,
                     compute_method: str = "auto",
                     chunk_size: int | None = None,
                     spectrum_dtype=jnp.float32, c: float = 0.5,
-                    deposit: str = "auto") -> PreparedShardedCall:
+                    deposit: str = "auto",
+                    reorder: bool = False) -> PreparedShardedCall:
     """Validate + pack the problem and fetch (compiling if needed) the
     cached sharded whole-call pipeline. Host-side packing happens here; the
     host->device transfer happens when the pipeline runs (inside the timed
@@ -178,12 +214,16 @@ def prepare_sharded(problem: CreateImageProblem, mesh: Mesh,
                      and problem.N > 1
                      and jnp.dtype(spectrum_dtype) == jnp.float32
                      and K <= 128)
+    # cost-feedback reorder (ray_tracer._make_reorder_pipeline, run per
+    # shard): needs the pallas counts variant; silently inert elsewhere --
+    # the same fall-back-to-what-runs policy as the single-chip path
+    reorder = bool(reorder) and backend == "pallas" and n_chunks > 0
     cfg_key = ("sharded", id(mesh), backend, problem.N, float(beam.dz), K,
                method, use_emis, dims, float(scale),
                str(jnp.dtype(spectrum_dtype)), float(c), chunk, n_chunks,
                bin_deposit,
                problem.N_start, problem.N_parallel, fast_meta, pallas_meta,
-               pack_layout, beam_scalars, seed_f0, fused_amplify)
+               pack_layout, beam_scalars, seed_f0, fused_amplify, reorder)
     cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                use_emis=use_emis, dims=dims, scale=float(scale),
                spectrum_dtype=spectrum_dtype, c=float(c), dense=False,
@@ -193,10 +233,11 @@ def prepare_sharded(problem: CreateImageProblem, mesh: Mesh,
                N_parallel=problem.N_parallel, fast_meta=fast_meta,
                pallas_meta=pallas_meta,
                pack_layout=pack_layout, beam_scalars=beam_scalars,
-               seed_f0=seed_f0, fused_amplify=fused_amplify)
+               seed_f0=seed_f0, fused_amplify=fused_amplify,
+               reorder=reorder)
     if cfg_key not in _SHARDED_CACHE:
         if backend == "pallas":
-            trace_fn = ray_tracer.make_pallas_trace_fn(cfg)
+            trace_fn = ray_tracer.make_pallas_trace_fn(cfg, counts=reorder)
         elif backend == "lax":
             meta, nch, nyc = fast_meta
 
@@ -250,7 +291,11 @@ def _finalize_sharded(problem: CreateImageProblem, prep: PreparedShardedCall,
     src = problem.seed_beam if problem.seed is not None else beam
     method, dims, chunk = cfg["method"], cfg["dims"], cfg["chunk"]
 
-    image_d, iang_d, fail3_d, codes_d = outs
+    # reorder pipelines append (counts, it) outputs (keyed on the cfg, not
+    # tuple length): counts feed the next stream call; it maps permuted
+    # per-device positions back to physical rays
+    image_d, iang_d, fail3_d, codes_d = outs[:4]
+    it_d = outs[5] if cfg.get("reorder") else None
     image, i_ang, fail3_np = jax.device_get((image_d, iang_d, fail3_d))
 
     if np.any(fail3_np > 0):
@@ -266,10 +311,18 @@ def _finalize_sharded(problem: CreateImageProblem, prep: PreparedShardedCall,
         codes = np.zeros(codes_d.shape, dtype=np.int32)
         for sh in codes_d.addressable_shards:
             codes[sh.index] = np.asarray(sh.data)
+        it_arr = None
+        if it_d is not None:  # reorder: positions are permuted per device
+            it_arr = np.zeros(it_d.shape, dtype=np.int32)
+            for sh in it_d.addressable_shards:
+                it_arr[sh.index] = np.asarray(sh.data)
         per_dev = chunk // D
         for ci, bidx in zip(*np.nonzero(codes < 0)):
-            dev, r = divmod(int(bidx), per_dev)
-            it = int(ci) * chunk + dev + r * D
+            if it_arr is not None:
+                it = int(it_arr[ci, bidx])
+            else:
+                dev, r = divmod(int(bidx), per_dev)
+                it = int(ci) * chunk + dev + r * D
             gidx = problem.N_start + it * problem.N_parallel
             gi, gj, gk, gm = (np.asarray(v) for v in
                               ray_tracer._unflatten_rays(jnp.asarray(gidx),

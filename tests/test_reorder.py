@@ -144,6 +144,33 @@ def test_reorder_falls_back_off_pallas():
     assert len(outs) == 1 and np.isfinite(outs[0][0]).all()
 
 
+def test_sharded_stream_reorder_matches_sync():
+    """Reorder over a mesh: each shard sorts its own rays by its own
+    previous counts; results must match the synchronous sharded call to
+    deposit-reassociation level on the virtual 8-device mesh."""
+    import jax
+
+    from raytrace_tpu.parallel.mesh import make_mesh
+    from raytrace_tpu.parallel.sharding import (create_image_sharded,
+                                                prepare_sharded)
+
+    mesh = make_mesh(min(8, len(jax.devices())))
+    kw = dict(nx=8, ny=5, na=5, nb=4, nv=6)
+    prep = prepare_sharded(_distinct_units(1, 0, **kw)[0], mesh, "pallas",
+                           chunk_size=4096, reorder=True)
+    assert prep.cfg["reorder"]
+    want = [create_image_sharded(p, mesh, "pallas", chunk_size=4096)
+            for p in _distinct_units(2, 3, **kw)]
+    got = list(create_image_stream(_distinct_units(2, 3, **kw), "pallas",
+                                   chunk_size=4096, mesh=mesh,
+                                   reorder=True))
+    for (gi, ga), (wi, wa) in zip(got, want):
+        assert (np.linalg.norm(gi - wi)
+                <= _REASSOC_TOL * max(np.linalg.norm(wi), 1e-300))
+        assert (np.linalg.norm(ga - wa)
+                <= _REASSOC_TOL * max(np.linalg.norm(wa), 1e-300))
+
+
 def test_reorder_stride_partition_sums_to_full():
     """The stride contract survives reordering: a 2-way N_start/N_parallel
     partition, each half streamed with reorder, sums to the full image."""
