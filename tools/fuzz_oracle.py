@@ -210,17 +210,23 @@ def _check_stream(ci, kw, scale_g0, want_lax, want_pallas=None):
                 physical_gain(q)
             return q
 
-        routs = list(create_image_stream([mkp(), mkp()], "pallas",
-                                         chunk_size=1024, reorder=True))
-        for k, (rimg, _rang) in enumerate(routs):
-            got_r = np.asarray(rimg).reshape(-1)
-            n0 = np.linalg.norm(want_pallas)
-            d = np.linalg.norm(got_r - want_pallas) / max(n0, 1e-300)
-            if not (d <= 1e-5
-                    or (n0 == 0 and np.linalg.norm(got_r) == 0)):
-                print(f"  REORDER [{ci}] call {k} vs sync pallas {kw} "
-                      f"rel={d:.2e}")
-                bad += 1
+        arms = [("", dict(chunk_size=1024))]
+        if SHARDED:
+            # per-shard feedback on the virtual mesh must hold across the
+            # same random envelope
+            arms.append(("sharded ", dict(chunk_size=1024, mesh=_mesh())))
+        for aname, akw in arms:
+            routs = list(create_image_stream([mkp(), mkp()], "pallas",
+                                             reorder=True, **akw))
+            for k, (rimg, _rang) in enumerate(routs):
+                got_r = np.asarray(rimg).reshape(-1)
+                n0 = np.linalg.norm(want_pallas)
+                d = np.linalg.norm(got_r - want_pallas) / max(n0, 1e-300)
+                if not (d <= 1e-5
+                        or (n0 == 0 and np.linalg.norm(got_r) == 0)):
+                    print(f"  REORDER [{ci}] {aname}call {k} vs sync "
+                          f"pallas {kw} rel={d:.2e}")
+                    bad += 1
     return bad
 
 
