@@ -225,6 +225,23 @@ def chunk_core(cfg: dict, trace_fn, ijkm, valid, ray_grids, trace_tables,
                       beam)
 
 
+def reorder_chunk_core(cfg: dict, trace_fn, ijkm, valid, perm, ray_grids,
+                       trace_tables, gv_tables, dseed, beam):
+    """chunk_core for the counts-variant trace_fn: the chunk's rays arrive
+    already permuted (``ijkm`` in window-sorted order, ``perm`` the
+    permutation that produced it) and the kernel's per-lane micro-step
+    counts come back scattered to NATURAL positions -- the next call's
+    sort key. Shared by the single-device reorder pipeline and the
+    mesh-sharded worker so the counts round-trip convention cannot
+    diverge. Returns (image_partial, iang_partial, code, counts_nat)."""
+    rays, _ = _chunk_rays(cfg, ijkm, ray_grids)
+    res, cnt = trace_fn(rays, trace_tables)
+    img_p, ang_p, code = chunk_post(cfg, ijkm, valid, ray_grids, res,
+                                    gv_tables, dseed, beam)
+    cnt_nat = jnp.zeros((perm.shape[0],), jnp.int32).at[perm].set(cnt)
+    return img_p, ang_p, code, cnt_nat
+
+
 def _stack_gv(gains, K):
     """Lineshape tables for segments 1..N-1 (segment 0 is never read); a
     single zero row keeps shapes valid for N=1 (no segments).
@@ -272,27 +289,42 @@ def _fail_bits(code):
     )
 
 
-def _make_chunk_indices(cfg: dict):
-    """On-device ray-index generation for chunk ``ci`` under the stride
-    contract (RayTraceImage.cpp:300-328) -- the single source of the
-    it/ijkm/valid logic shared by the single-jit, split, and reorder
-    pipelines. Returns ``chunk_indices(ci, perm=None) -> (ijkm, valid,
-    it)``; ``perm`` optionally permutes the chunk's within-chunk positions
-    (the cost-feedback reorder)."""
+def make_stride_mapper(cfg: dict):
+    """The N_start/N_parallel stride contract (RayTraceImage.cpp:300-328)
+    as a function of the raw stride index: ``map_it(it) -> (ijkm, valid)``.
+    The SINGLE source of the boundary conditions (it <= Nt//skip, ijkm <
+    Nt, invalid clamp to 0) shared by every pipeline -- single-jit, split,
+    reorder, and the mesh-sharded worker (which composes its own ``it``
+    from the device stride)."""
     dims = cfg["dims"]
     Nt = dims[0] * dims[1] * dims[2] * dims[3]
     offset = cfg["N_start"]
     skip = cfg["N_parallel"]
-    chunk = cfg["chunk"]
     it_max = Nt // skip  # last valid stride index (RayTraceImage.cpp:304)
+
+    def map_it(it):
+        ijkm = offset + it * skip
+        valid = (it <= it_max) & (ijkm < Nt)
+        return jnp.where(valid, ijkm, 0), valid
+
+    return map_it
+
+
+def _make_chunk_indices(cfg: dict):
+    """On-device ray-index generation for chunk ``ci`` under the stride
+    contract -- the single-device composition over make_stride_mapper.
+    Returns ``chunk_indices(ci, perm=None) -> (ijkm, valid, it)``; ``perm``
+    optionally permutes the chunk's within-chunk positions (the
+    cost-feedback reorder)."""
+    chunk = cfg["chunk"]
+    map_it = make_stride_mapper(cfg)
 
     def chunk_indices(ci, perm=None):
         pos = jnp.arange(chunk, dtype=jnp.int64) if perm is None \
             else perm.astype(jnp.int64)
         it = ci.astype(jnp.int64) * chunk + pos
-        ijkm = offset + it * skip
-        valid = (it <= it_max) & (ijkm < Nt)
-        return jnp.where(valid, ijkm, 0), valid, it
+        ijkm, valid = map_it(it)
+        return ijkm, valid, it
 
     return chunk_indices
 
@@ -385,12 +417,9 @@ def _make_reorder_pipeline(cfg: dict, trace_fn):
             ci, pc = xs
             perm = _window_perm(pc, window)
             ijkm, valid, it = chunk_indices(ci, perm)
-            rays, _ = _chunk_rays(cfg, ijkm, ray_grids_u)
-            res, cnt = trace_fn(rays, trace_tables)
-            img_p, ang_p, code = chunk_post(cfg, ijkm, valid, ray_grids_u,
-                                            res, gv_tables_u, dseed_u,
-                                            beam_u)
-            cnt_nat = jnp.zeros((chunk,), jnp.int32).at[perm].set(cnt)
+            img_p, ang_p, code, cnt_nat = reorder_chunk_core(
+                cfg, trace_fn, ijkm, valid, perm, ray_grids_u, trace_tables,
+                gv_tables_u, dseed_u, beam_u)
             # it rides along so the (rare) failure path can name physical
             # rays; 4 B/ray of HBM writes (~40 us at seeded scale) that is
             # never fetched over the link unless a ray fails
@@ -955,11 +984,13 @@ def prepare_pipeline(problem: CreateImageProblem,
     # the seeded 7.8M-ray stack would be ~0.6 GB for a ~3% win)
     # cost-feedback reorder: needs the pallas counts variant and deposits
     # that key on ray attributes, not chunk position (dense deposits rows
-    # positionally). The reorder pipeline is single-jit; it forgoes the
-    # split upload overlap (its targets are compute-bound workloads where
-    # the trace, not the link, dominates).
+    # positionally); the failure path rides stride indices as int32, so
+    # absurdly large stride spaces keep natural order. The reorder
+    # pipeline is single-jit; it forgoes the split upload overlap (its
+    # targets are compute-bound workloads where the trace, not the link,
+    # dominates).
     reorder = bool(reorder) and backend == "pallas" and not dense \
-        and n_chunks > 0
+        and n_chunks > 0 and Nt // skip < 2 ** 31
     nseg = max(problem.N - 1, 1)
     trace_bytes = n_chunks * chunk * (36 * nseg + 18)
     split = ((not dense) and (not reorder) and n_chunks > 0
@@ -1163,9 +1194,22 @@ def create_image_stream(problems, compute_method: str = "auto",
                        prep.cfg["N_parallel"])
                 if feedback["key"] == key:
                     pc = feedback["counts"]
-                else:  # first call / shape change: natural order
-                    pc = jnp.zeros((prep.cfg["n_chunks"], prep.cfg["chunk"]),
-                                   jnp.int32)
+                else:  # first call / shape change: natural order.
+                    # Created with the pipeline's own input sharding so the
+                    # first call compiles the same program as every later
+                    # one (and on a mesh, a host-local default-device array
+                    # would not even be a valid input for a multi-process
+                    # jit); zeros materialize on device -- no link upload.
+                    shape = (prep.cfg["n_chunks"], prep.cfg["chunk"])
+                    if mesh is not None:
+                        from jax.sharding import (NamedSharding,
+                                                  PartitionSpec as _P)
+                        from raytrace_tpu.parallel.mesh import RAY_AXIS
+                        pc = jnp.zeros(shape, jnp.int32,
+                                       device=NamedSharding(
+                                           mesh, _P(None, RAY_AXIS)))
+                    else:
+                        pc = jnp.zeros(shape, jnp.int32)
                 outs = prep.pipeline(*prep.operands, pc)
                 feedback["key"], feedback["counts"] = key, outs[4]
             else:

@@ -57,15 +57,11 @@ def make_sharded_pipeline(cfg: dict, trace_fn, mesh: Mesh):
     link.
     """
     D = mesh.size
-    dims = cfg["dims"]
-    Nt = dims[0] * dims[1] * dims[2] * dims[3]
-    offset = cfg["N_start"]
-    skip = cfg["N_parallel"]
     chunk = cfg["chunk"]           # global rays per scan step
     per_dev = chunk // D
     n_chunks = cfg["n_chunks"]
     K = cfg["K"]
-    it_max = Nt // skip
+    map_it = ray_tracer.make_stride_mapper(cfg)
     reorder = cfg.get("reorder", False)
     if reorder:
         from raytrace_tpu.models.ray_tracer import (_REORDER_WINDOW_TILES,
@@ -93,17 +89,15 @@ def make_sharded_pipeline(cfg: dict, trace_fn, mesh: Mesh):
             else:
                 ci = xs
                 pos = jnp.arange(per_dev, dtype=jnp.int64)
+            # device stride nested under the rank stride: per-device
+            # position j maps to it = ci*chunk + d + j*D; the boundary
+            # conditions come from the shared stride mapper
             it = ci.astype(jnp.int64) * chunk + d + pos * D
-            ijkm = offset + it * skip
-            valid = (it <= it_max) & (ijkm < Nt)
-            ijkm = jnp.where(valid, ijkm, 0)
+            ijkm, valid = map_it(it)
             if reorder:
-                rays, _ = ray_tracer._chunk_rays(cfg, ijkm, ray_grids)
-                res, cnt = trace_fn(rays, trace_tables)
-                img_p, ang_p, code = ray_tracer.chunk_post(
-                    cfg, ijkm, valid, ray_grids, res, gv_tables, dseed_u,
-                    beam)
-                cnt_nat = jnp.zeros((per_dev,), jnp.int32).at[perm].set(cnt)
+                img_p, ang_p, code, cnt_nat = ray_tracer.reorder_chunk_core(
+                    cfg, trace_fn, ijkm, valid, perm, ray_grids,
+                    trace_tables, gv_tables, dseed_u, beam)
                 ys = (code, cnt_nat, it.astype(jnp.int32))
             else:
                 img_p, ang_p, code = ray_tracer.chunk_core(
@@ -214,10 +208,12 @@ def prepare_sharded(problem: CreateImageProblem, mesh: Mesh,
                      and problem.N > 1
                      and jnp.dtype(spectrum_dtype) == jnp.float32
                      and K <= 128)
-    # cost-feedback reorder (ray_tracer._make_reorder_pipeline, run per
+    # cost-feedback reorder (ray_tracer.reorder_chunk_core, run per
     # shard): needs the pallas counts variant; silently inert elsewhere --
     # the same fall-back-to-what-runs policy as the single-chip path
-    reorder = bool(reorder) and backend == "pallas" and n_chunks > 0
+    # (incl. the int32 stride-index bound for the failure-path mapping)
+    reorder = (bool(reorder) and backend == "pallas" and n_chunks > 0
+               and Nt // skip < 2 ** 31)
     cfg_key = ("sharded", id(mesh), backend, problem.N, float(beam.dz), K,
                method, use_emis, dims, float(scale),
                str(jnp.dtype(spectrum_dtype)), float(c), chunk, n_chunks,

@@ -144,6 +144,44 @@ def test_reorder_falls_back_off_pallas():
     assert len(outs) == 1 and np.isfinite(outs[0][0]).all()
 
 
+def test_sharded_reorder_it_is_window_sorted_per_device():
+    """The sharded feedback plumbing is position-exact: device d's block of
+    the global prev_counts drives device d's own sort (a transposed spec or
+    misaligned scatter would still pass the image gates -- deposits are
+    permutation-invariant -- so this checks the it output directly)."""
+    import jax
+
+    from raytrace_tpu.parallel.mesh import make_mesh
+    from raytrace_tpu.parallel.sharding import prepare_sharded
+
+    D = min(8, len(jax.devices()))
+    mesh = make_mesh(D)
+    p = synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6)
+    prep = prepare_sharded(p, mesh, "pallas", chunk_size=4096, reorder=True)
+    assert prep.cfg["reorder"]
+    n_chunks, chunk = prep.cfg["n_chunks"], prep.cfg["chunk"]
+    per_dev = chunk // D
+    rng = np.random.default_rng(5)
+    pc = rng.integers(0, 400, size=(n_chunks, chunk)).astype(np.int32)
+    outs = prep.pipeline(*prep.operands, jnp.asarray(pc))
+    counts, it_all = np.asarray(outs[4]), np.asarray(outs[5])
+    assert counts.shape == (n_chunks, chunk) and counts.min() >= 1
+    window = min(ray_tracer._REORDER_WINDOW_TILES * 1024, per_dev)
+    for ci in range(n_chunks):
+        for d in range(D):
+            blk = it_all[ci, d * per_dev:(d + 1) * per_dev]
+            # the device covers exactly its own strided it set...
+            want = ci * chunk + d + np.arange(per_dev) * D
+            assert sorted(blk.tolist()) == sorted(want.tolist())
+            # ...in window-local order of ITS OWN slice of prev_counts
+            # (per-dev position j of device d sits at global column
+            # d*per_dev + j)
+            pos = (blk - ci * chunk - d) // D
+            costs = pc[ci, d * per_dev:(d + 1) * per_dev]
+            for lo in range(0, per_dev, window):
+                assert np.all(np.diff(costs[pos[lo:lo + window]]) >= 0)
+
+
 def test_sharded_stream_reorder_matches_sync():
     """Reorder over a mesh: each shard sorts its own rays by its own
     previous counts; results must match the synchronous sharded call to
