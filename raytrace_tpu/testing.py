@@ -17,28 +17,36 @@ __all__ = ["synthetic_problem", "perturbed_problems", "oracle_images",
            "physical_gain", "time_stream_rounds", "probe_tpu"]
 
 
-def probe_tpu(timeout_s: float = 180.0) -> bool:
+def probe_tpu(timeout_s: float = 180.0, attempts: int = 2,
+              retry_wait_s: float = 60.0) -> bool:
     """Pre-flight the tunneled TPU in a throwaway subprocess.
 
     A down tunnel can make even ``jax.default_backend()`` HANG for many
     minutes or raise an axon init error (both observed; ROADMAP.md
     "Benchmarking on this rig"), so any harness that wants a CPU fallback
     must probe device init + one tiny dispatch under a hard timeout BEFORE
-    touching jax in its own process. Shared by bench.py and the fuzz
-    harness."""
+    touching jax in its own process. A failed attempt retries once after a
+    short wait (rides out brief tunnel flaps without risking an unbounded
+    hang). Shared by bench.py and the fuzz harness."""
     import subprocess
     import sys
+    import time
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
-             "assert jax.default_backend() == 'tpu';"
-             "jnp.ones((8, 128)).sum().block_until_ready()"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for a in range(max(1, attempts)):
+        if a:
+            time.sleep(retry_wait_s)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "assert jax.default_backend() == 'tpu';"
+                 "jnp.ones((8, 128)).sum().block_until_ready()"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def time_stream_rounds(path, n_units, rounds, consume, salt0=0, scale=None):
