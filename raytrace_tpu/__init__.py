@@ -27,22 +27,31 @@ jax.config.update("jax_enable_x64", True)
 # changes miss safely. Opt out with RAYTRACE_NO_COMPILE_CACHE=1 or point
 # elsewhere with RAYTRACE_COMPILE_CACHE_DIR.
 def _host_tag() -> str:
-    """Fingerprint of this host's CPU features. XLA:CPU cache entries are
-    AOT machine code compiled for the build host's exact feature set;
-    loading them on a host with fewer features warns loudly and can
-    SIGILL/segfault (observed: a cache populated on an AMX-capable host
-    crashed a later run on a plain-AVX512 host). Keying the cache dir on
-    the feature set makes a foreign cache invisible instead of fatal."""
+    """Fingerprint of this host's CPU features AND the jax version. XLA:CPU
+    cache entries are AOT machine code compiled for the build process's
+    exact TARGET config; loading them under a different one warns loudly
+    and can SIGILL/segfault. Observed twice: (1) a cache populated on an
+    AMX-capable host crashed a later run on a plain-AVX512 host; (2) a
+    cache whose entries carried +prefer-no-scatter/+prefer-no-gather
+    pseudo-features (a different XLA version's target config on the SAME
+    cpuinfo) warned per load and segfaulted a 30-case fuzz sweep after
+    thousands of loads (LLVM 'Cannot allocate memory' -> SIGSEGV). Keying
+    the dir on cpuinfo + jax version makes a foreign cache invisible
+    instead of fatal."""
+    import jax as _jax
+    feats = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith(("flags", "Features")):
-                    import hashlib
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+                    feats = line
+                    break
     except OSError:
-        pass
-    import platform as _pf
-    return _pf.machine() or "unknown"
+        import platform as _pf
+        feats = _pf.machine() or "unknown"
+    import hashlib
+    return hashlib.sha1(
+        (feats + _jax.__version__).encode()).hexdigest()[:10]
 
 
 if os.environ.get("RAYTRACE_NO_COMPILE_CACHE") != "1":

@@ -326,6 +326,20 @@ def _rss_gb() -> float:
     return 0.0
 
 
+def _map_count() -> int:
+    """Memory mappings held by this process. Every compiled XLA executable
+    pins several mmaps (JIT code + data sections); a long sweep of
+    unique-shape cases exhausts vm.max_map_count (65530 on this host) LONG
+    before RSS reaches the release threshold -- observed as LLVM 'Cannot
+    allocate memory' then SIGSEGV at ~case 25 of a 30-case --sharded
+    --stream run with RSS well under 8 GB."""
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:
+        return 0
+
+
 def _release_memory():
     """Every fuzz case has unique shapes, so the pipeline caches and jax's
     jit caches grow one set of compiled CPU executables per case and
@@ -355,7 +369,7 @@ def main():
     bad = 0
     for ci, kw in enumerate(cases):
         bad += run_case(ci, kw)
-        if _rss_gb() > 8.0:
+        if _rss_gb() > 8.0 or _map_count() > 30000:
             _release_memory()
             _ALT_SYNC.clear()  # its pipeline was just dropped too
     print(f"fuzz done: {len(cases)} cases, {bad} problems")
