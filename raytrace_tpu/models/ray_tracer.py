@@ -357,9 +357,66 @@ def _window_perm(costs, window: int):
     return perm.reshape(-1)[:n]
 
 
+def reorder_row_geom(problem):
+    """Static geometry of the kernel's cell-fetch row grid, the primary
+    reorder sort key: ``(y0, mean_dy, last_row)`` of the first traced
+    segment's gain grid (segments 1..N-1 are the ones the kernel reads;
+    shipped inputs have uniform geometry across segments). ``None`` when
+    there is no readable row grid -- the reorder then falls back to the
+    row-free window-local sort. Heuristic only: the row id never touches
+    the physics, so an approximate (mean-spacing) id on non-uniform grids
+    is fine."""
+    if problem.N < 2 or len(problem.gain) < 2:
+        return None
+    g1 = problem.gain[1]
+    if g1.Ny < 2 or g1.y is None:
+        return None
+    y1 = np.asarray(g1.y, np.float64)
+    return (float(y1[0]), float(np.diff(y1).mean()), int(g1.Ny - 2))
+
+
+def reorder_perm(cfg: dict, costs, ijkm_nat, ray_grids):
+    """Within-chunk permutation for the cost-feedback reorder: stable
+    argsort by ``(entry fetch row k2, previous-call micro-step count)``.
+
+    The TPU A/B (tools/bench_reorder.py, real Mosaic kernel, ASE_small)
+    measured this fetch-row-grouped cost sort at **1.55x** trace vs 1.21x
+    for the original row-free window-local sort and 1.14x for a global
+    pure-cost sort: grouping by the kernel's cell-fetch rowid (the entry
+    y-row on single-slab grids) preserves the fetch loop's spatial
+    coherence that a pure cost sort destroys, while the within-row cost
+    sort drains the idle-lane tail. Rays at the same (x, y) differ only in
+    angle, so sorting them across the whole chunk by cost keeps tiles
+    row-pure AND cost-uniform.
+
+    All-zero feedback (a stream's first call) keeps NATURAL order -- the
+    first call stays bitwise identical to the synchronous pipeline (pinned
+    by tests/test_reorder.py).
+
+    Falls back to the window-local sort when the problem has no readable
+    row geometry (``cfg['reorder_row'] is None``)."""
+    n = costs.shape[0]
+    row = cfg.get("reorder_row")
+    if row is None:
+        from raytrace_tpu.ops import pallas_kernel as pk
+        return _window_perm(costs, min(_REORDER_WINDOW_TILES * pk.TILE, n))
+    y0, dy, last = row
+    _i, j, _k, _m = _unflatten_rays(ijkm_nat, cfg["dims"])
+    y = ray_grids[1][j].astype(jnp.float32)
+    # half-plane grids mirror y (RayTraceImageHelper.h:325-336); row id per
+    # the census tooling (tools/bench_reorder.py)
+    y_eff = jnp.abs(y) if y0 >= 0.0 else y
+    k2 = jnp.clip(jnp.ceil((y_eff - y0) / dy) - 1.0, 0, last)
+    key = (k2.astype(jnp.int64) * jnp.int64(2 ** 32)
+           + jnp.clip(costs, 0, 2 ** 31 - 1).astype(jnp.int64))
+    natural = jnp.arange(n, dtype=jnp.int64)
+    key = jnp.where(jnp.any(costs > 0), key, natural)
+    return jnp.argsort(key, stable=True).astype(jnp.int32)
+
+
 def _make_reorder_pipeline(cfg: dict, trace_fn):
     """Cost-feedback-reordered pipeline: each chunk's rays are processed in
-    window-local order of the PREVIOUS call's per-ray micro-step counts.
+    (fetch-row, PREVIOUS call's per-ray micro-step count) order.
 
     The pallas kernel's per-tile cost is the max total micro-step count
     over its 1024 lanes; on the divergent backward-ASE ray class half the
@@ -371,8 +428,10 @@ def _make_reorder_pipeline(cfg: dict, trace_fn):
     pipeline implements, entirely on device (no extra link traffic):
 
     * extra operand  ``prev_counts [n_chunks, chunk] i32`` (all-zero on the
-      stream's first call -> stable argsort -> natural order),
-    * per chunk: window-local argsort -> permuted stride indices ``it`` ->
+      stream's first call -> natural order, bitwise-sync),
+    * per chunk: (fetch-row, cost) argsort (:func:`reorder_perm`; measured
+      1.55x trace on ASE vs 1.21x for the row-free window-local sort) ->
+      permuted stride indices ``it`` ->
       trace (counts variant) -> the same deposits (order-invariant up to
       rounding; the reference's atomics make the same trade, SURVEY.md
       section 5 race detection),
@@ -386,13 +445,9 @@ def _make_reorder_pipeline(cfg: dict, trace_fn):
     ops/binning.py:126 -- well under the 5e-6 golden gate); NOT bitwise,
     which is why ``reorder`` is opt-in on the stream.
     """
-    from raytrace_tpu.ops import pallas_kernel as pk
-
     K = cfg["K"]
-    chunk = cfg["chunk"]
     n_chunks = cfg["n_chunks"]
     img_rows = cfg["img_rows"]
-    window = min(_REORDER_WINDOW_TILES * pk.TILE, chunk)
     packed = cfg.get("pack_layout") is not None
     chunk_indices = _make_chunk_indices(cfg)
 
@@ -415,7 +470,8 @@ def _make_reorder_pipeline(cfg: dict, trace_fn):
         def body(carry, xs):
             image_acc, iang_acc, fail_acc = carry
             ci, pc = xs
-            perm = _window_perm(pc, window)
+            ijkm_nat, _valid_nat, _it_nat = chunk_indices(ci)
+            perm = reorder_perm(cfg, pc, ijkm_nat, ray_grids_u)
             ijkm, valid, it = chunk_indices(ci, perm)
             img_p, ang_p, code, cnt_nat = reorder_chunk_core(
                 cfg, trace_fn, ijkm, valid, perm, ray_grids_u, trace_tables,
@@ -991,6 +1047,7 @@ def prepare_pipeline(problem: CreateImageProblem,
     # dominates).
     reorder = bool(reorder) and backend == "pallas" and not dense \
         and n_chunks > 0 and Nt // skip < 2 ** 31
+    reorder_row = reorder_row_geom(problem) if reorder else None
     nseg = max(problem.N - 1, 1)
     trace_bytes = n_chunks * chunk * (36 * nseg + 18)
     split = ((not dense) and (not reorder) and n_chunks > 0
@@ -1009,7 +1066,8 @@ def prepare_pipeline(problem: CreateImageProblem,
                float(scale), str(jnp.dtype(spectrum_dtype)), float(c), chunk,
                dense, bin_deposit, n_chunks, problem.N_start,
                problem.N_parallel, fast_meta, pallas_meta, pack_layout,
-               beam_scalars, seed_f0, fused_amplify, split, reorder)
+               beam_scalars, seed_f0, fused_amplify, split, reorder,
+               reorder_row)
     cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                use_emis=use_emis, dims=dims, scale=float(scale),
                spectrum_dtype=spectrum_dtype, c=float(c), dense=dense,
@@ -1019,7 +1077,8 @@ def prepare_pipeline(problem: CreateImageProblem,
                N_parallel=problem.N_parallel, fast_meta=fast_meta,
                pallas_meta=pallas_meta, pack_layout=pack_layout,
                beam_scalars=beam_scalars, seed_f0=seed_f0,
-               fused_amplify=fused_amplify, split=split, reorder=reorder)
+               fused_amplify=fused_amplify, split=split, reorder=reorder,
+               reorder_row=reorder_row)
     if cfg_key not in _PIPELINE_CACHE:
         _PIPELINE_CACHE[cfg_key] = BACKENDS[backend](cfg)
     return PreparedCall(

@@ -49,9 +49,9 @@ def make_sharded_pipeline(cfg: dict, trace_fn, mesh: Mesh):
     images; one psum reduces at the end (the MPI_Allreduce analogue).
 
     With ``cfg['reorder']`` the cost-feedback reorder runs PER DEVICE: each
-    shard window-sorts its own per-chunk positions by its own previous-call
-    counts (ray_tracer._make_reorder_pipeline semantics nested inside the
-    device stride), takes a [n_chunks, chunk]-global ``prev_counts`` operand
+    shard sorts its own per-chunk positions by (entry fetch row, its own
+    previous-call counts) -- ray_tracer.reorder_perm nested inside the
+    device stride -- takes a [n_chunks, chunk]-global ``prev_counts`` operand
     sharded over the ray axis, and returns (counts, it) extra outputs with
     the same sharding -- the feedback loop never crosses devices or the
     link.
@@ -63,11 +63,6 @@ def make_sharded_pipeline(cfg: dict, trace_fn, mesh: Mesh):
     K = cfg["K"]
     map_it = ray_tracer.make_stride_mapper(cfg)
     reorder = cfg.get("reorder", False)
-    if reorder:
-        from raytrace_tpu.models.ray_tracer import (_REORDER_WINDOW_TILES,
-                                                    _window_perm)
-        from raytrace_tpu.ops import pallas_kernel as pk
-        window = min(_REORDER_WINDOW_TILES * pk.TILE, per_dev)
 
     def worker(pack, trace_tables, gv_tables, dseed, prev_counts=None):
         d = jax.lax.axis_index(RAY_AXIS).astype(jnp.int64)
@@ -84,7 +79,12 @@ def make_sharded_pipeline(cfg: dict, trace_fn, mesh: Mesh):
             image_acc, iang_acc, fail3 = carry
             if reorder:
                 ci, pc = xs
-                perm = _window_perm(pc, window)
+                # natural ijkm first: the reorder sort key needs each
+                # position's entry row (ray_tracer.reorder_perm)
+                it_nat = (ci.astype(jnp.int64) * chunk + d
+                          + jnp.arange(per_dev, dtype=jnp.int64) * D)
+                ijkm_nat, _ = map_it(it_nat)
+                perm = ray_tracer.reorder_perm(cfg, pc, ijkm_nat, ray_grids)
                 pos = perm.astype(jnp.int64)
             else:
                 ci = xs
@@ -214,12 +214,14 @@ def prepare_sharded(problem: CreateImageProblem, mesh: Mesh,
     # (incl. the int32 stride-index bound for the failure-path mapping)
     reorder = (bool(reorder) and backend == "pallas" and n_chunks > 0
                and Nt // skip < 2 ** 31)
+    reorder_row = ray_tracer.reorder_row_geom(problem) if reorder else None
     cfg_key = ("sharded", id(mesh), backend, problem.N, float(beam.dz), K,
                method, use_emis, dims, float(scale),
                str(jnp.dtype(spectrum_dtype)), float(c), chunk, n_chunks,
                bin_deposit,
                problem.N_start, problem.N_parallel, fast_meta, pallas_meta,
-               pack_layout, beam_scalars, seed_f0, fused_amplify, reorder)
+               pack_layout, beam_scalars, seed_f0, fused_amplify, reorder,
+               reorder_row)
     cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                use_emis=use_emis, dims=dims, scale=float(scale),
                spectrum_dtype=spectrum_dtype, c=float(c), dense=False,
@@ -230,7 +232,7 @@ def prepare_sharded(problem: CreateImageProblem, mesh: Mesh,
                pallas_meta=pallas_meta,
                pack_layout=pack_layout, beam_scalars=beam_scalars,
                seed_f0=seed_f0, fused_amplify=fused_amplify,
-               reorder=reorder)
+               reorder=reorder, reorder_row=reorder_row)
     if cfg_key not in _SHARDED_CACHE:
         if backend == "pallas":
             trace_fn = ray_tracer.make_pallas_trace_fn(cfg, counts=reorder)

@@ -2,8 +2,10 @@
 
 The serving-mode lever from the micro-step census (ROADMAP.md): per-ray
 trace cost is invariant under production-style table perturbation, so a
-stream sorts call k's rays window-locally by call k-1's measured per-lane
-micro-step counts. These tests pin the plumbing on the CPU interpreter:
+stream sorts call k's rays by (entry fetch row, call k-1's measured
+per-lane micro-step count) -- ray_tracer.reorder_perm, the TPU-A/B-winning
+order (1.55x trace on ASE, tools/bench_reorder.py). These tests pin the
+plumbing on the CPU interpreter:
 the permutation math, the counts round trip, and that the reordered
 executor reproduces the synchronous images (up to f64 scatter-add
 reassociation -- the documented non-bitwise trade, SURVEY.md section 5).
@@ -44,33 +46,78 @@ def test_window_perm_identity_on_uniform_costs():
     assert np.array_equal(perm, np.arange(24))
 
 
+def test_reorder_perm_groups_rows_then_sorts_cost():
+    """The production sort key (reorder_perm): stable argsort by (entry
+    fetch row k2, cost). Constructed so no entry y sits near a cell
+    boundary (the row id is a heuristic, but the test should be exact)."""
+    dims = (4, 3, 2, 2)  # nx, ny, na, nb -> 48 rays
+    n = 4 * 3 * 2 * 2
+    # gain rows: y0=0.0, dy=1.0, rows 0..2 -> entry y 0.4/1.4/2.4 map to
+    # rows 0/1/2 (ceil(y-eff/dy)-1 with clip)
+    cfg = dict(dims=dims, reorder_row=(0.0, 1.0, 2))
+    gy = jnp.asarray([0.4, 1.4, 2.4])
+    ray_grids = (jnp.zeros(4), gy, jnp.zeros(2), jnp.zeros(2))
+    ijkm = jnp.arange(n, dtype=jnp.int64)
+    rng = np.random.default_rng(9)
+    costs = rng.integers(1, 300, size=n).astype(np.int32)
+    perm = np.asarray(ray_tracer.reorder_perm(cfg, jnp.asarray(costs), ijkm,
+                                              ray_grids))
+    assert sorted(perm.tolist()) == list(range(n))
+    j = (np.arange(n) // 4) % 3  # b-fastest unflatten: j = (ijkm//(na*nb))%ny
+    k2 = j  # rows land 1:1 by construction
+    assert np.all(np.diff(k2[perm]) >= 0), "primary key: fetch row"
+    for row in range(3):
+        sel = perm[k2[perm] == row]
+        assert np.all(np.diff(costs[sel]) >= 0), "secondary key: cost"
+    # all-zero feedback (a stream's first call) keeps NATURAL order
+    perm0 = np.asarray(ray_tracer.reorder_perm(
+        cfg, jnp.zeros(n, jnp.int32), ijkm, ray_grids))
+    assert np.array_equal(perm0, np.arange(n))
+    # no row geometry -> window-local fallback (the _window_perm contract)
+    cfg_nr = dict(cfg, reorder_row=None)
+    pf = np.asarray(ray_tracer.reorder_perm(cfg_nr, jnp.asarray(costs), ijkm,
+                                            ray_grids))
+    assert np.array_equal(pf, np.asarray(_window_perm(jnp.asarray(costs),
+                                                      min(8 * 1024, n))))
+
+
 def _reorder_prep(p, **kw):
     prep = prepare_pipeline(p, "pallas", chunk_size=2048, reorder=True, **kw)
     assert prep.cfg["reorder"], "pallas problem should build the reorder pipeline"
     return prep
 
 
-def test_reorder_pipeline_it_is_window_sorted_by_feedback():
+def test_reorder_pipeline_it_follows_feedback_perm():
     """Feed a synthetic cost pattern and check the pipeline really processes
-    stride indices in window-local cost order, with this call's counts
-    scattered back to natural positions (the next call's key)."""
+    stride indices in reorder_perm's (fetch row, cost) order, with this
+    call's counts scattered back to natural positions (the next call's
+    key)."""
     p = synthetic_problem(nx=8, ny=5, na=5, nb=4, nv=6)
     prep = _reorder_prep(p)
-    n_chunks, chunk = prep.cfg["n_chunks"], prep.cfg["chunk"]
+    cfg = prep.cfg
+    assert cfg["reorder_row"] is not None
+    n_chunks, chunk = cfg["n_chunks"], cfg["chunk"]
     rng = np.random.default_rng(11)
     pc = rng.integers(0, 500, size=(n_chunks, chunk)).astype(np.int32)
     outs = prep.pipeline(*prep.operands, jnp.asarray(pc))
     assert len(outs) == 6
     counts, it_all = np.asarray(outs[4]), np.asarray(outs[5])
-    window = min(ray_tracer._REORDER_WINDOW_TILES * 1024, chunk)
+    src = p.euv_beam
+    ray_grids = tuple(jnp.asarray(np.asarray(g)) for g in
+                      (src.x, src.y, src.a, src.b))
     for ci in range(n_chunks):
         it = it_all[ci]
         # every chunk still covers exactly its natural stride indices
         assert sorted(it.tolist()) == list(range(ci * chunk,
                                                  (ci + 1) * chunk))
-        for lo in range(0, chunk, window):
-            blk = it[lo:lo + window] - ci * chunk
-            assert np.all(np.diff(pc[ci][blk]) >= 0)
+        # ... visited in exactly the library's published permutation
+        # (padding positions clamp to ray 0, like the pipeline's stride map)
+        raw = np.arange(ci * chunk, (ci + 1) * chunk)
+        nt = int(np.prod(cfg["dims"]))
+        ijkm_nat = jnp.asarray(np.where(raw < nt, raw, 0), jnp.int64)
+        want = np.asarray(ray_tracer.reorder_perm(
+            cfg, jnp.asarray(pc[ci]), ijkm_nat, ray_grids))
+        assert np.array_equal(it - ci * chunk, want)
     # the counts output is in NATURAL order: re-running with it as feedback
     # must sort positions by it, and real traces take >= 1 micro-step
     assert counts.shape == (n_chunks, chunk)
@@ -144,7 +191,7 @@ def test_reorder_falls_back_off_pallas():
     assert len(outs) == 1 and np.isfinite(outs[0][0]).all()
 
 
-def test_sharded_reorder_it_is_window_sorted_per_device():
+def test_sharded_reorder_it_follows_feedback_perm_per_device():
     """The sharded feedback plumbing is position-exact: device d's block of
     the global prev_counts drives device d's own sort (a transposed spec or
     misaligned scatter would still pass the image gates -- deposits are
@@ -166,20 +213,25 @@ def test_sharded_reorder_it_is_window_sorted_per_device():
     outs = prep.pipeline(*prep.operands, jnp.asarray(pc))
     counts, it_all = np.asarray(outs[4]), np.asarray(outs[5])
     assert counts.shape == (n_chunks, chunk) and counts.min() >= 1
-    window = min(ray_tracer._REORDER_WINDOW_TILES * 1024, per_dev)
+    src = p.euv_beam
+    ray_grids = tuple(jnp.asarray(np.asarray(g)) for g in
+                      (src.x, src.y, src.a, src.b))
+    nt = int(np.prod(prep.cfg["dims"]))
     for ci in range(n_chunks):
         for d in range(D):
             blk = it_all[ci, d * per_dev:(d + 1) * per_dev]
             # the device covers exactly its own strided it set...
-            want = ci * chunk + d + np.arange(per_dev) * D
-            assert sorted(blk.tolist()) == sorted(want.tolist())
-            # ...in window-local order of ITS OWN slice of prev_counts
-            # (per-dev position j of device d sits at global column
-            # d*per_dev + j)
-            pos = (blk - ci * chunk - d) // D
+            nat = ci * chunk + d + np.arange(per_dev) * D
+            assert sorted(blk.tolist()) == sorted(nat.tolist())
+            # ...visited in the library's (fetch row, cost) permutation of
+            # ITS OWN slice of prev_counts (per-dev position j of device d
+            # sits at global column d*per_dev + j), padding clamped like
+            # the stride map
+            ijkm_nat = jnp.asarray(np.where(nat < nt, nat, 0), jnp.int64)
             costs = pc[ci, d * per_dev:(d + 1) * per_dev]
-            for lo in range(0, per_dev, window):
-                assert np.all(np.diff(costs[pos[lo:lo + window]]) >= 0)
+            want = np.asarray(ray_tracer.reorder_perm(
+                prep.cfg, jnp.asarray(costs), ijkm_nat, ray_grids))
+            assert np.array_equal(blk, ci * chunk + d + want * D)
 
 
 def test_sharded_stream_reorder_matches_sync():
