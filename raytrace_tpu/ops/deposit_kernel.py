@@ -57,17 +57,36 @@ def split_bf16x3(x):
     return hi, mid, lo
 
 
-def _deposit_kernel(bins_ref, hi_ref, mid_ref, lo_ref, out_ref, *, C):
-    t = pl.program_id(0)
+#: VMEM headroom for the per-block one-hot + resident output block (the
+#: 16 MiB scoped budget also holds the streamed planes and the bins array)
+_DEPOSIT_VMEM_BUDGET = 8 * 2 ** 20
+
+
+def _c_block(C: int, K: int) -> int:
+    """Cell-block height: the largest multiple of 8 whose one-hot
+    ([c_blk, TILE] bf16) plus resident output block ([c_blk, K_pad] f32)
+    fits the VMEM budget. Small images (every shipped workload at scale 1)
+    get a single block -- the original kernel layout."""
+    kpad = -(-K // 128) * 128
+    per_row = DEPOSIT_TILE * 2 + kpad * 4
+    c_blk = max(8, min(C, _DEPOSIT_VMEM_BUDGET // per_row))
+    return -(-c_blk // 8) * 8 if c_blk >= C else (c_blk // 8) * 8
+
+
+def _deposit_kernel(bins_ref, hi_ref, mid_ref, lo_ref, out_ref, *, c_blk):
+    cb = pl.program_id(0)
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
     bins = bins_ref[pl.ds(t, 1), :]                       # [1, TILE] i32
-    cell_ids = jax.lax.broadcasted_iota(jnp.int32, (C, DEPOSIT_TILE), 0)
-    ohT = (cell_ids == jnp.broadcast_to(bins, (C, DEPOSIT_TILE))
-           ).astype(jnp.bfloat16)                         # [C, TILE]
+    cell_ids = (cb * c_blk
+                + jax.lax.broadcasted_iota(jnp.int32, (c_blk, DEPOSIT_TILE),
+                                           0))
+    ohT = (cell_ids == jnp.broadcast_to(bins, (c_blk, DEPOSIT_TILE))
+           ).astype(jnp.bfloat16)                         # [c_blk, TILE]
     acc = out_ref[:]
     for plane_ref in (hi_ref, mid_ref, lo_ref):
         acc = acc + jax.lax.dot_general(
@@ -76,25 +95,38 @@ def _deposit_kernel(bins_ref, hi_ref, mid_ref, lo_ref, out_ref, *, C):
     out_ref[:] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("C",))
-def deposit_tiles(contrib, bins, C: int):
+@functools.partial(jax.jit, static_argnames=("C", "interpret"))
+def deposit_tiles(contrib, bins, C: int, interpret: bool = False):
     """MXU deposit: out[c] = sum over rays b with bins[b] == c of contrib[b].
 
     ``contrib``: [B, K] float32 (B divisible by DEPOSIT_TILE);
     ``bins``: [B] int32 in [0, C). Returns [C, K] float32.
+
+    Large images (C beyond the VMEM budget, e.g. the 6000-cell grids a
+    -scale=16 run produces) are tiled over cell blocks: grid (CB, T) with
+    T innermost, so each output block stays VMEM-resident across the whole
+    ray sweep while the planes re-stream once per cell block.
     """
     B, K = contrib.shape
     assert B % DEPOSIT_TILE == 0
     T = B // DEPOSIT_TILE
 
+    c_blk = _c_block(C, K)
+    n_cb = -(-C // c_blk)
+    c_pad = n_cb * c_blk
+
     hi, mid, lo = split_bf16x3(contrib)
     bins2 = bins.reshape(T, DEPOSIT_TILE)
 
-    def imap_rows(t):
+    def imap_plane(cb, t):
         t32 = jnp.asarray(t, jnp.int32)
         return (t32, t32 * 0)
 
-    def imap_fixed(t):
+    def imap_out(cb, t):
+        cb32 = jnp.asarray(cb, jnp.int32)
+        return (cb32, cb32 * 0)
+
+    def imap_fixed(cb, t):
         t32 = jnp.asarray(t, jnp.int32)
         return (t32 * 0, t32 * 0)
 
@@ -103,13 +135,15 @@ def deposit_tiles(contrib, bins, C: int):
     # kernel dynamic-slices its row instead
     bin_spec = pl.BlockSpec((T, DEPOSIT_TILE), imap_fixed,
                             memory_space=pltpu.VMEM)
-    plane_spec = pl.BlockSpec((DEPOSIT_TILE, K), imap_rows,
+    plane_spec = pl.BlockSpec((DEPOSIT_TILE, K), imap_plane,
                               memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((C, K), imap_fixed, memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        functools.partial(_deposit_kernel, C=C),
-        grid=(T,),
-        out_shape=jax.ShapeDtypeStruct((C, K), jnp.float32),
+    out_spec = pl.BlockSpec((c_blk, K), imap_out, memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_deposit_kernel, c_blk=c_blk),
+        grid=(n_cb, T),
+        out_shape=jax.ShapeDtypeStruct((c_pad, K), jnp.float32),
         in_specs=[bin_spec, plane_spec, plane_spec, plane_spec],
         out_specs=out_spec,
+        interpret=interpret,
     )(bins2, hi, mid, lo)
+    return out if c_pad == C else out[:C]

@@ -225,6 +225,31 @@ def test_matmul_deposit_matches_scatter():
         assert rel < 5e-7 and rel_a < 5e-7, (seeded, rel, rel_a)
 
 
+def test_deposit_kernel_cell_blocking():
+    """The pallas MXU deposit kernel handles images past the single-block
+    VMEM envelope by tiling over cell blocks (a -scale=16 image has ~6000
+    cells; the single-block kernel OOMed scoped VMEM there). Interpreted
+    on CPU against segment_sum, forcing multi-block via a tiny budget."""
+    import jax
+    from raytrace_tpu.ops import deposit_kernel as dk
+
+    rng = np.random.default_rng(7)
+    B, K = 2048, 52
+    for C in (257, 6001):
+        contrib = jnp.asarray(rng.normal(size=(B, K)).astype(np.float32))
+        bins = jnp.asarray(rng.integers(0, C, size=B).astype(np.int32))
+        want = jax.ops.segment_sum(contrib, bins, num_segments=C)
+        got = dk.deposit_tiles(contrib, bins, C, interpret=True)
+        assert got.shape == (C, K)
+        rel = (np.linalg.norm(np.asarray(got) - np.asarray(want))
+               / np.linalg.norm(np.asarray(want)))
+        assert rel < 5e-7, (C, rel)
+        # force the multi-block path even at small C
+        blk = dk._c_block(C, K)
+        if C > blk:
+            assert blk % 8 == 0 and blk < C  # genuine multi-block case
+
+
 def test_two_float_spectrum_matches_f64():
     """The f32 two-float amplification (Dekker products + two-sum + (hi,lo)
     exp) tracks the f64 reference chain to ~1e-7 relative norms."""
