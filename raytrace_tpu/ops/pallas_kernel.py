@@ -300,10 +300,25 @@ def _fetch_cells(tab_seg_ref, lane, rowid, work, nch):
     return jax.lax.fori_loop(jmin, jmax + 1, row_body, vals0)
 
 
+#: micro-steps per inner while round. The loop's per-round overhead (the
+#: cross-lane cond reduction + re-yielding the ~18-array carry) is a large
+#: share of the trace cost -- the fetch-channel count measured at only
+#: ~1.5% (16 vs 12 channels, paired rounds), so the micro-step loop, not
+#: the gather stage, dominates. Unrolling trades masked idle work for
+#: rounds, exactly as ops/fast_stepper.FL_UNROLL does on the XLA path;
+#: per-lane step sequences are IDENTICAL (bitwise-equal outputs verified
+#: on TPU at every unroll tried). Paired trace-only A/B (tmp probe, real
+#: TPU, distinct-tables scan protocol, 5 rounds each):
+#:   scale16 ASE: u1 0.541 / u2 0.466 / u3 0.437 / u4 0.434 / u6 0.410 /
+#:                u8 0.418 s  -> u6 is -24% vs u1
+#:   seed_small:  u1 0.302 / u2 0.265 / u3 0.258 / u6 0.250 s  (-17%)
+FL_UNROLL = 6
+
+
 def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
                     tab_ref, gvl_ref, evl_ref, ivl_ref,
                     ex_ref, ey_ref, esx_ref, esy_ref, esz_ref, eesc_ref,
-                    nst_ref=None, *, pg_meta, N, dz0, c):
+                    nst_ref=None, *, pg_meta, N, dz0, c, fl_unroll=FL_UNROLL):
     """Full multi-segment trace for one (8,128) tile of rays.
 
     Loop structure (the flattened form proven in ops/fast_stepper.py): per
@@ -571,7 +586,7 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
             def fl_cond(s1):
                 return jnp.max(s1["act"]) > f32(0.5)
 
-            def fl_body(s1):
+            def fl_one_step(s1):
                 a1 = _b(s1["act"])
                 n0, dndx, dndy = s1["n0"], s1["dndx"], s1["dndy"]
                 box2 = s1["box2"]
@@ -649,6 +664,12 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
                                          s1["nst"])} if counting else {}),
                 }
 
+            def fl_body(s1):
+                # several micro-steps per while round (see FL_UNROLL)
+                for _ in range(fl_unroll):
+                    s1 = fl_one_step(s1)
+                return s1
+
             zero = jnp.zeros_like(p_x)
             y20 = jnp.abs(p_y) if absy else p_y
             l1a0 = work & ((p_x > exlo) & (p_x < exhi) & (y20 > eylo)
@@ -713,9 +734,10 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("meta_key", "N", "dz0", "c",
-                                              "interpret", "counts"))
+                                              "interpret", "counts",
+                                              "fl_unroll"))
 def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret,
-                     counts=False):
+                     counts=False, fl_unroll=FL_UNROLL):
     pg_meta = dict(meta_key)
     T = rx.shape[0]
     nseg = N - 1
@@ -732,7 +754,7 @@ def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret,
     sx, sy, sz = sx * inv, sy * inv, sz * inv
 
     kernel = functools.partial(_stepper_kernel, pg_meta=pg_meta, N=N,
-                               dz0=dz0, c=c)
+                               dz0=dz0, c=c, fl_unroll=fl_unroll)
     grid = (T,)
 
     # per-segment geometry scalars for the kernel's SMEM-driven segment
@@ -833,7 +855,7 @@ def meta_key_of(pg: PackedGain, method: int) -> tuple:
 
 def trace_tiles(rays, N: int, dz0: float, pg: PackedGain, method: int,
                 c: float = 0.5, interpret: bool | None = None,
-                counts: bool = False):
+                counts: bool = False, fl_unroll: int = FL_UNROLL):
     """Run the Pallas stepper over [T, 8, 128]-tiled ray batches.
 
     ``rays``: dict of float32 [T, 8, 128] arrays x/y/a/b.
@@ -851,4 +873,5 @@ def trace_tiles(rays, N: int, dz0: float, pg: PackedGain, method: int,
     meta_key = meta_key_of(pg, method)
     return _trace_tiles_jit(rays["x"], rays["y"], rays["a"], rays["b"],
                             pg.tables, meta_key, N, float(dz0), float(c),
-                            bool(interpret), counts=bool(counts))
+                            bool(interpret), counts=bool(counts),
+                            fl_unroll=int(fl_unroll))

@@ -177,11 +177,105 @@ def main():
             return jax.jit(scanner)
         return make
 
+    # ---- bisection variants: hand-rolled plain pipelines that differ
+    # only in (a) nothing (harness-structure control), (b) the counting
+    # kernel -- to locate the measured plain-vs-reorder_zero gap ----
+    cfg_p = prep_p.cfg
+
+    def make_plain_variant(counting):
+        chunk_idx = rt._make_chunk_indices(cfg_p)
+        tf = rt.make_pallas_trace_fn(cfg_p, counts=counting)
+
+        def make(S_):
+            def scanner(pack_in, tts, gvs):
+                ray_grids_u, beam_u, dseed_u = rt.unpack_bundle(cfg_p,
+                                                                pack_in)
+
+                def body(carry, xs):
+                    t, g = xs
+                    img0 = jnp.zeros((cfg_p["img_rows"], cfg_p["K"]),
+                                     jnp.float64)
+                    ang0 = jnp.zeros((cfg_p["na_nb"],), jnp.float64)
+
+                    def cbody(c2, ci):
+                        ia, aa = c2
+                        ijkm, valid, _it = chunk_idx(ci)
+                        rays, _ = rt._chunk_rays(cfg_p, ijkm, ray_grids_u)
+                        out = tf(rays, t)
+                        res, cnt = out if counting else (out, None)
+                        img_p, ang_p, code = rt.chunk_post(
+                            cfg_p, ijkm, valid, ray_grids_u, res, g,
+                            dseed_u, beam_u)
+                        ys = (code, cnt) if counting else (code,)
+                        return (ia + img_p, aa + ang_p), ys
+                    (img, ang), _ys = jax.lax.scan(
+                        cbody, (img0, ang0),
+                        jnp.arange(cfg_p["n_chunks"], dtype=jnp.int32))
+                    return carry + img.sum() + ang.sum(), None
+                out, _ = jax.lax.scan(body, jnp.float64(0.0), (tts, gvs))
+                return out
+            return jax.jit(scanner)
+        return make
+
+    # cumulative-feature bisect between plain_counts and reorder_zero:
+    # c1 = ijkm via an i32 iota perm gather; c2 = perm from reorder_perm on
+    # zero costs (the real argsort, identity result); c3 = c2 + the counts
+    # scatter-to-natural + the it ys output (== reorder_zero, hand-rolled)
+    def make_bisect(level):
+        chunk_idx = rt._make_chunk_indices(cfg_p)
+        tf = rt.make_pallas_trace_fn(cfg_p, counts=True)
+
+        def make(S_):
+            def scanner(pack_in, tts, gvs):
+                ray_grids_u, beam_u, dseed_u = rt.unpack_bundle(cfg_p,
+                                                                pack_in)
+
+                def body(carry, xs):
+                    t, g = xs
+                    img0 = jnp.zeros((cfg_p["img_rows"], cfg_p["K"]),
+                                     jnp.float64)
+                    ang0 = jnp.zeros((cfg_p["na_nb"],), jnp.float64)
+
+                    def cbody(c2, ci):
+                        ia, aa = c2
+                        if level >= 2:
+                            ijkm_nat, _vn, _itn = chunk_idx(ci)
+                            perm = rt.reorder_perm(
+                                cfg_p, jnp.zeros((cfg_p["chunk"],),
+                                                 jnp.int32),
+                                ijkm_nat, ray_grids_u)
+                        else:
+                            perm = jnp.arange(cfg_p["chunk"],
+                                              dtype=jnp.int32)
+                        ijkm, valid, it = chunk_idx(ci, perm)
+                        rays, _ = rt._chunk_rays(cfg_p, ijkm, ray_grids_u)
+                        res, cnt = tf(rays, t)
+                        img_p, ang_p, code = rt.chunk_post(
+                            cfg_p, ijkm, valid, ray_grids_u, res, g,
+                            dseed_u, beam_u)
+                        if level >= 3:
+                            cnt_nat = jnp.zeros((perm.shape[0],),
+                                                jnp.int32).at[perm].set(cnt)
+                            ys = (code, cnt_nat, it.astype(jnp.int32))
+                        else:
+                            ys = (code, cnt)
+                        return (ia + img_p, aa + ang_p), ys
+                    (img, ang), _ys = jax.lax.scan(
+                        cbody, (img0, ang0),
+                        jnp.arange(cfg_p["n_chunks"], dtype=jnp.int32))
+                    return carry + img.sum() + ang.sum(), None
+                out, _ = jax.lax.scan(body, jnp.float64(0.0), (tts, gvs))
+                return out
+            return jax.jit(scanner)
+        return make
+
     res = measure_interleaved({
-        "plain": make_plain,
+        "plain_counts": make_plain_variant(True),
+        "c1_permgather": make_bisect(1),
+        "c2_argsort": make_bisect(2),
+        "c3_scatter_it": make_bisect(3),
         "reorder_zero": make_reorder(pc0),
         "reorder_fb": make_reorder(counts),
-        "argsort_only": make_argsort(counts),
     })
 
     med = {k: v["median"] for k, v in res.items()}
