@@ -292,9 +292,14 @@ def _segment_walk_fast(seg_idx: int, ft: FastTables, st0, dz0: float,
             n0, dndx, dndy = s1["n0"], s1["dndx"], s1["dndy"]
             box2 = s1["box2"]
             n = n0 + s1["rx"] * dndx + s1["ry"] * dndy
-            t = (s1["sx"] * dndx + s1["sy"] * dndy + f32(1e-12)) / n
-            fx = dndx / n - s1["sx"] * t
-            fy = dndy / n - s1["sy"] * t
+            # shared reciprocal + constant-reciprocal multiplies below:
+            # <= 1 ulp vs the plain divides, and MUST stay expression-for-
+            # expression identical to ops/pallas_kernel.fl_one_step (the
+            # per-lane micro-step sequences are lockstep-tested)
+            invn = f32(1.0) / n
+            t = (s1["sx"] * dndx + s1["sy"] * dndy + f32(1e-12)) * invn
+            fx = dndx * invn - s1["sx"] * t
+            fy = dndy * invn - s1["sy"] * t
             fz = -s1["sz"] * t
             step = f32(c) * f32(0.1) / jnp.abs(t)
             step = jnp.minimum(step, f32(c) * f32(1.00001) * box2)
@@ -306,15 +311,16 @@ def _segment_walk_fast(seg_idx: int, ft: FastTables, st0, dz0: float,
             step = jnp.minimum(jnp.minimum(step, step2),
                                jnp.minimum(step3, step4))
             st_ = step * t
-            c1 = half * step * step * (one - st_ / 3 + st_ * st_ / 12)
+            c1 = half * step * step * (one - st_ * f32(1.0 / 3.0)
+                                       + (st_ * st_) * f32(1.0 / 12.0))
             rx = s1["rx"] + s1["sx"] * step + c1 * fx
             ry = s1["ry"] + s1["sy"] * step + c1 * fy
             rz = s1["rz"] + s1["sz"] * step + c1 * fz
-            c2 = step * (one - half * st_ + st_ * st_ / 6)
+            c2 = step * (one - half * st_ + (st_ * st_) * f32(1.0 / 6.0))
             ux = s1["sx"] + c2 * fx
             uy = s1["sy"] + c2 * fy
             uz = s1["sz"] + c2 * fz
-            inv = one / jnp.sqrt(ux * ux + uy * uy + uz * uz)
+            inv = jax.lax.rsqrt(ux * ux + uy * uy + uz * uz)
             ux, uy, uz = ux * inv, uy * inv, uz * inv
             path = s1["path"] + step
             n_lag = n

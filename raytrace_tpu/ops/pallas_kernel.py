@@ -591,9 +591,18 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
                 n0, dndx, dndy = s1["n0"], s1["dndx"], s1["dndy"]
                 box2 = s1["box2"]
                 n = n0 + s1["rx"] * dndx + s1["ry"] * dndy
-                t = (s1["sx"] * dndx + s1["sy"] * dndy + f32(1e-12)) / n
-                fx = dndx / n - s1["sx"] * t
-                fy = dndy / n - s1["sy"] * t
+                # shared reciprocal + constant-reciprocal multiplies: f32
+                # divides are multi-op on the VPU and this loop ran 11 of
+                # them per micro-step (measured ~2% of trace). a*(1/b) and
+                # x*(1/3) differ from a/b and x/3 by <= 1 ulp -- the same
+                # perturbation class as the f32 grid arithmetic, absorbed
+                # by the lockstep tier's 1e-5 gate and the 5e-6 golden
+                # norms. MUST match ops/fast_stepper.py expression-for-
+                # expression (per-lane step sequences stay in lockstep).
+                invn = f32(1.0) / n
+                t = (s1["sx"] * dndx + s1["sy"] * dndy + f32(1e-12)) * invn
+                fx = dndx * invn - s1["sx"] * t
+                fy = dndy * invn - s1["sy"] * t
                 fz = -s1["sz"] * t
                 step = f32(c) * f32(0.1) / jnp.abs(t)
                 step = jnp.minimum(step, f32(c) * f32(1.00001) * box2)
@@ -605,16 +614,18 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
                 step = jnp.minimum(jnp.minimum(step, step2),
                                    jnp.minimum(step3, step4))
                 st_ = step * t
-                c1 = f32(0.5) * step * step * (f32(1.0) - st_ / f32(3.0)
-                                               + st_ * st_ / f32(12.0))
+                c1 = f32(0.5) * step * step * (
+                    f32(1.0) - st_ * f32(1.0 / 3.0)
+                    + (st_ * st_) * f32(1.0 / 12.0))
                 rx = s1["rx"] + s1["sx"] * step + c1 * fx
                 ry = s1["ry"] + s1["sy"] * step + c1 * fy
                 rz = s1["rz"] + s1["sz"] * step + c1 * fz
-                c2 = step * (f32(1.0) - f32(0.5) * st_ + st_ * st_ / f32(6.0))
+                c2 = step * (f32(1.0) - f32(0.5) * st_
+                             + (st_ * st_) * f32(1.0 / 6.0))
                 ux = s1["sx"] + c2 * fx
                 uy = s1["sy"] + c2 * fy
                 uz = s1["sz"] + c2 * fz
-                inv = f32(1.0) / jnp.sqrt(ux * ux + uy * uy + uz * uz)
+                inv = jax.lax.rsqrt(ux * ux + uy * uy + uz * uz)
                 ux, uy, uz = ux * inv, uy * inv, uz * inv
                 path = s1["path"] + step
                 n_lag = n
