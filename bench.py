@@ -220,19 +220,21 @@ def main():
             "scale16_cross_backend_check": bool(sanity),
         }
         # serving-mode throughput at ASE_medium scale (same distinct-tables
-        # protocol as the other stream rows). reorder=True only here: the
-        # cost-feedback ray reorder won the interleaved e2e A/B on this
-        # workload class (0.825 vs 0.843 s/call best, all 3 rounds, real
-        # TPU) but LOSES on ASE_small (-4%) and seed_small (-8%), so those
-        # rows stay natural-order (ROADMAP.md reorder section).
+        # protocol as the other stream rows). Natural order: the
+        # cost-feedback reorder won here on the pre-unroll kernel (0.825
+        # vs 0.843) but the FL_UNROLL=6 stepper cut the divergence
+        # penalty it was recovering, and the re-run A/B flipped (natural
+        # 0.7093/0.7097 vs reorder 0.7163/0.7167 best/med, natural ahead
+        # all 3 rounds). reorder stays available per stream; re-run
+        # tools/bench_stream.py --reorder after kernel changes
+        # (ROADMAP.md reorder section).
         try:
             from raytrace_tpu import create_image_stream
             from raytrace_tpu.testing import time_stream_rounds
 
             per_call = time_stream_rounds(
                 REFERENCE_INPUT, 4, 2,
-                lambda probs: _drain(create_image_stream(probs, method,
-                                                         reorder=True)),
+                lambda probs: _drain(create_image_stream(probs, method)),
                 scale=16.0)
             scale16_stats.update({
                 "scale16_stream_rays_per_sec": round(n16 / min(per_call), 1),
