@@ -52,6 +52,18 @@ FL_UNROLL = 2
 #: tuning diagnostic, not used in production paths (tools/steps_analysis.py)
 DEBUG_COUNTERS = False
 
+#: when additionally True, the counters include "rec": a list (per segment)
+#: of [B, DEBUG_RMAX] i32 arrays with the per-lane micro-step count of each
+#: outer (l0) round -- column r is l0 round r, so columns align across lanes
+#: exactly as the pallas kernel's per-tile rounds do. This is the input for
+#: the cell-boundary-sync cost model (tools/steps_analysis.py --cellsync):
+#: the kernel's inner while syncs the tile at EVERY cell walk, so true tile
+#: rounds are sum-over-l0-rounds of per-round maxima, not the per-segment
+#: max of totals. Rounds past DEBUG_RMAX accumulate into the last column
+#: (slightly underestimating sync cost for pathological >RMAX-cell rays).
+DEBUG_RECORD = False
+DEBUG_RMAX = 96
+
 f32 = jnp.float32
 XPAD = 128  # one-hot width; requires Nx-1 <= 128 x-cells
 
@@ -417,6 +429,18 @@ def _segment_walk_fast(seg_idx: int, ft: FastTables, st0, dz0: float,
             ret["n_l0"] = n_l0
             ret["n_fl"] = st["n_fl"] + l1["n_fl"]
             ret["n_steps"] = l1["n_act"]
+            if "rec" in st:
+                # per-lane steps taken in THIS l0 round, scattered into
+                # column r (one-hot; rounds >= RMAX fold into the last).
+                # Encoded as steps+1 for participating (work) lanes so a
+                # 0-step fetch-only round is distinguishable from absence:
+                # decode steps = max(rec-1, 0), participated = rec > 0.
+                stepped = l1["n_act"] - st["n_steps"]
+                enc = jnp.where(work, stepped + 1, 0)
+                col = jnp.minimum(st["n_l0"], jnp.int32(DEBUG_RMAX - 1))
+                onehot = (jax.lax.broadcasted_iota(
+                    jnp.int32, (1, DEBUG_RMAX), 1) == col)
+                ret["rec"] = st["rec"] + onehot * enc[:, None]
         return ret
 
     return jax.lax.while_loop(l0_cond, l0_body, dict(st0))
@@ -461,11 +485,15 @@ def trace_batch_fast(rays, N: int, dz0: float, ft: FastTables, method: int,
             st["n_l0"] = jnp.int32(0)
             st["n_fl"] = jnp.int32(0)
             st["n_steps"] = _counters.get("steps", zerosi)
+            if DEBUG_RECORD:
+                st["rec"] = jnp.zeros((B, DEBUG_RMAX), jnp.int32)
         st = _segment_walk_fast(ii, ft, st, dz0, c, use_emis, method)
         if DEBUG_COUNTERS:
             _counters["l0"] = _counters.get("l0", 0) + st["n_l0"]
             _counters["fl"] = _counters.get("fl", 0) + st["n_fl"]
             _counters["steps"] = st["n_steps"]
+            if DEBUG_RECORD:
+                _counters.setdefault("rec", []).append(st["rec"])
             # cumulative per-lane counts after each segment: per-segment
             # counts are diffs (the pallas kernel's per-tile cost model is
             # sum over segments of the tile's max, tools/steps_analysis.py)

@@ -40,6 +40,7 @@ reference binary's computed images in tests/test_golden.py).
 from __future__ import annotations
 
 import functools
+import os
 import sys
 from typing import NamedTuple
 
@@ -256,6 +257,25 @@ def _lane_gather(tab8, idx):
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
 
+def _findindex(row8, q, n_pts):
+    """Reference findindex bisection (RayTraceImageHelper.h:131-143):
+    returns upper in [1, n_pts-1] with X[upper] >= q. Fixed 7 rounds
+    (ceil(log2(128))); converged lanes no-op. All values ride f32 (exact
+    small ints, the kernel's safe domain); initial bounds derive from lane
+    data so carries stay in concrete Mosaic layouts."""
+    lanes0 = q * f32(0.0)
+    lower = lanes0
+    upper = lanes0 + (n_pts - jnp.int32(1)).astype(f32)
+    for _ in range(7):
+        active = (upper - lower) > f32(1.5)  # (upper-lower) != 1
+        value = jnp.floor((upper + lower) * f32(0.5))
+        xv = _lane_gather(row8, value.astype(jnp.int32))
+        ge = xv >= q
+        upper = jnp.where(active & ge, value, upper)
+        lower = jnp.where(active & ~ge, value, lower)
+    return upper
+
+
 def _m(mask):
     """bool -> f32 mask for loop carries (Mosaic cannot yield i1 vectors)."""
     return jnp.where(mask, f32(1.0), f32(0.0))
@@ -273,19 +293,24 @@ def _any(mask):
     return jnp.max(jnp.where(mask, f32(1.0), f32(0.0))) > f32(0.0)
 
 
-def _fetch_cells(tab_seg_ref, lane, rowid, work, nch):
+def _fetch_cells(tab_seg_ref, lane, rowid, work, nch, vals0=None):
     """Fetch all per-cell channels for the tile via lane-shuffle gathers.
 
     ``rowid`` indexes the packed table rows (y-row for single-slab grids,
     ``j*nslab + slab`` for wide ones); the loop covers only the rowids
-    present among active lanes (dynamic range), one ``dynamic_gather`` +
-    masked accumulate per channel per rowid.
+    present among active lanes (dynamic range, zero-trip when no lane is
+    active), one ``dynamic_gather`` + masked accumulate per channel per
+    rowid. ``vals0`` supplies the per-channel defaults for masked lanes
+    (zeros when omitted; the merged loop passes the carried cell values).
     """
     kf = rowid.astype(f32)
     jmin = jnp.min(jnp.where(work, kf, f32(1e6))).astype(jnp.int32)
     jmax = jnp.max(jnp.where(work, kf, f32(-1.0))).astype(jnp.int32)
-    jmin = jnp.minimum(jmin, jmax)  # no active lanes -> empty loop
-    vals0 = [jnp.zeros((TILE_ROWS, TILE_LANES), f32) for _ in range(nch)]
+    if vals0 is None:
+        vals0 = [jnp.zeros((TILE_ROWS, TILE_LANES), f32) for _ in range(nch)]
+    else:
+        vals0 = list(vals0)
+        assert len(vals0) == nch
 
     def row_body(j, vals):
         mask = (rowid == j) & work
@@ -297,6 +322,7 @@ def _fetch_cells(tab_seg_ref, lane, rowid, work, nch):
             out.append(jnp.where(mask, gath, vals[c]))
         return out
 
+    # no active lanes -> jmin=1e6 > jmax+1=0 -> zero-trip loop
     return jax.lax.fori_loop(jmin, jmax + 1, row_body, vals0)
 
 
@@ -308,17 +334,46 @@ def _fetch_cells(tab_seg_ref, lane, rowid, work, nch):
 #: rounds, exactly as ops/fast_stepper.FL_UNROLL does on the XLA path;
 #: per-lane step sequences are IDENTICAL (bitwise-equal outputs verified
 #: on TPU at every unroll tried). Paired trace-only A/B (tmp probe, real
-#: TPU, distinct-tables scan protocol, 5 rounds each):
+#: TPU, distinct-tables scan protocol, 5 rounds each, NESTED structure):
 #:   scale16 ASE: u1 0.541 / u2 0.466 / u3 0.437 / u4 0.434 / u6 0.410 /
 #:                u8 0.418 s  -> u6 is -24% vs u1
 #:   seed_small:  u1 0.302 / u2 0.265 / u3 0.258 / u6 0.250 s  (-17%)
 FL_UNROLL = 6
 
+#: loop structure of the trace kernel (also settable via the
+#: RAYTRACE_KERNEL_STRUCTURE env var for A/B tooling):
+#:
+#: * "nested" -- per cell entry, one fetch phase then an inner while over
+#:   micro-steps. The inner while syncs the whole (8,128) tile at EVERY
+#:   cell boundary: lanes whose in-cell walk finished idle until the
+#:   tile's slowest lane leaves its cell. Measured true cost on the real
+#:   step records (tools/steps_analysis.py --cellsync): ~3.0x the ideal
+#:   micro-step slots on the ASE class (16% lane utilization at U=1).
+#: * "merged" -- ONE while loop per segment; every round is a masked
+#:   service phase (commit finished walks, sub-length advance, escape,
+#:   fetch new cells for exactly the lanes that need one) followed by
+#:   ``fl_unroll`` micro-steps. Lanes walk their own cells independently,
+#:   so a tile's rounds are set by max-over-lanes of total busy rounds
+#:   rather than a sum of per-cell maxima. Per-lane step sequences are
+#:   IDENTICAL to "nested" (same fetches, same micro-steps, same order --
+#:   only the lane scheduling changes): cell ids and per-lane micro-step
+#:   counts verified bitwise equal; float values differ by compiler FMA-
+#:   contraction ulps (the two programs fuse the same source expressions
+#:   differently -- the established perturbation class of this kernel,
+#:   absorbed by the 5e-6 golden gate).
+KERNEL_STRUCTURE = os.environ.get("RAYTRACE_KERNEL_STRUCTURE", "merged")
+#: micro-steps per merged-loop round: the service phase runs every round,
+#: so the unroll trades service overhead against end-of-cell idle slots
+#: (a lane idles the rest of a round once its cell walk ends; the slot
+#: model puts the optimum at 2-4, measured on TPU in tools/bench_merged.py)
+MERGED_UNROLL = int(os.environ.get("RAYTRACE_MERGED_UNROLL", "4"))
+
 
 def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
                     tab_ref, gvl_ref, evl_ref, ivl_ref,
                     ex_ref, ey_ref, esx_ref, esy_ref, esz_ref, eesc_ref,
-                    nst_ref=None, *, pg_meta, N, dz0, c, fl_unroll=FL_UNROLL):
+                    nst_ref=None, *, pg_meta, N, dz0, c, fl_unroll=FL_UNROLL,
+                    structure="merged"):
     """Full multi-segment trace for one (8,128) tile of rays.
 
     Loop structure (the flattened form proven in ops/fast_stepper.py): per
@@ -437,24 +492,7 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
             yrow8 = jnp.broadcast_to(tseg[nch, pl.ds(z0 + jnp.int32(1), 1), :],
                                      (TILE_ROWS, TILE_LANES))
 
-        def findindex(row8, q, n_pts):
-            """Reference findindex bisection (RayTraceImageHelper.h:
-            131-143): returns upper in [1, n_pts-1] with X[upper] >= q.
-            Fixed 7 rounds (ceil(log2(128))); converged lanes no-op. All
-            values ride f32 (exact small ints, the kernel's safe domain);
-            initial bounds derive from lane data so carries stay in
-            concrete Mosaic layouts."""
-            lanes0 = q * f32(0.0)
-            lower = lanes0
-            upper = lanes0 + (n_pts - jnp.int32(1)).astype(f32)
-            for _ in range(7):
-                active = (upper - lower) > f32(1.5)  # (upper-lower) != 1
-                value = jnp.floor((upper + lower) * f32(0.5))
-                xv = _lane_gather(row8, value.astype(jnp.int32))
-                ge = xv >= q
-                upper = jnp.where(active & ge, value, upper)
-                lower = jnp.where(active & ~ge, value, lower)
-            return upper
+        findindex = _findindex
 
         def l0_cond(st):
             return _any(~_b(st["esc"]) & (st["iz"] < f32(N_SUB)))
@@ -729,8 +767,354 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
         return (st["px"], st["py"], st["sx"], st["sy"], st["sz"], st["esc"]
                 ) + ((st["nst"],) if counting else ())
 
+    def seg_body_merged(i, carry):
+        """Merged-loop segment walk (KERNEL_STRUCTURE == "merged").
+
+        One while loop per segment. Each round:
+
+        1. SERVICE (masked): lanes whose cell walk just ended commit it
+           (z += |pz|, gvl/evl += g0c/E0c * ds, ivl = cell id), then the
+           sub-length advance / escape / flush logic runs for lanes between
+           walks, and exactly those lanes fetch their next cell (zero-trip
+           fetch loop when nobody transitions this round) and initialize a
+           fresh walk. Lanes mid-walk are untouched.
+        2. STEP: ``fl_unroll`` adaptive micro-steps for walking lanes.
+
+        Per-lane fetch/walk/advance sequences are identical to the nested
+        structure (the selects reproduce the l0 round semantics lane-
+        locally); only the lane scheduling changes -- a tile no longer
+        syncs at cell boundaries, which the step records measure at ~3x
+        idle slots on the ASE class (tools/steps_analysis.py --cellsync).
+        Cell ids / step counts match nested bitwise; float values differ
+        by compiler FMA-contraction ulps (see KERNEL_STRUCTURE).
+        """
+        px0, py0, sx0, sy0, sz0, escf0 = carry[:6]
+        nstf = carry[6] if counting else None
+        ii = (jnp.int32(N - 1) - i) if method == 1 else (i + jnp.int32(1))
+        x0 = smeta_ref[ii, 0]
+        y0 = smeta_ref[ii, 1]
+        dxc = smeta_ref[ii, 2]
+        dyc = smeta_ref[ii, 3]
+        inv_dx = smeta_ref[ii, 4]
+        inv_dy = smeta_ref[ii, 5]
+        r0 = smeta_ref[ii, 6]
+        r1 = smeta_ref[ii, 7]
+        r2 = smeta_ref[ii, 8]
+        r3 = smeta_ref[ii, 9]
+        nx_i = smeta_ref[ii, 10].astype(jnp.int32)
+        ny_i = smeta_ref[ii, 11].astype(jnp.int32)
+
+        if nonuniform:
+            # per-segment findindex coordinate rows (see seg_body)
+            tseg = tab_ref.at[jnp.int32(ii)]
+            z0i = ii * jnp.int32(0)
+            xrow8 = jnp.broadcast_to(tseg[nch, pl.ds(z0i, 1), :],
+                                     (TILE_ROWS, TILE_LANES))
+            yrow8 = jnp.broadcast_to(
+                tseg[nch, pl.ds(z0i + jnp.int32(1), 1), :],
+                (TILE_ROWS, TILE_LANES))
+
+        def l0_cond(st):
+            return _any(~_b(st["esc"]) & (st["iz"] < f32(N_SUB)))
+
+        def l0_body(st):
+            walk = _b(st["act"])
+            pend = _b(st["pend"])
+            esc_b = _b(st["esc"])
+            p_x, p_y = st["px"], st["py"]
+            s_z = st["sz"]
+            zero = p_x * f32(0.0)
+
+            # ---- commit walks that completed since the last service ----
+            fin = pend & ~walk
+            z = jnp.where(fin, st["z"] + jnp.abs(st["pz"]), st["z"])
+            gvl = jnp.where(fin, st["gvl"] + st["cg0"] * st["ds"], st["gvl"])
+            evl = (jnp.where(fin, st["evl"] + st["ce0"] * st["ds"], st["evl"])
+                   if use_emis else st["evl"])
+            ivl = jnp.where(fin, st["ci1"], st["ivl"])
+
+            # ---- sub-length advance: z passed 0.995*z_stop(iz) ----------
+            iz = st["iz"]
+            act0 = ~esc_b & (iz < f32(N_SUB)) & ~walk
+            adv = act0 & (z >= f32(0.995) * zs_of(iz))
+            isub = isub_of(iz)
+            og = flush((st["og0"], st["og1"], st["og2"]), adv, isub, gvl)
+            oe = flush((st["oe0"], st["oe1"], st["oe2"]), adv, isub, evl)
+            oi = flush((st["oi0"], st["oi1"], st["oi2"]), adv, isub, ivl)
+            gvl = jnp.where(adv, f32(0.0), gvl)
+            evl = jnp.where(adv, f32(0.0), evl)
+            ivl = jnp.where(adv, f32(0.0), ivl)
+            iz = jnp.where(adv, iz + f32(1.0), iz)
+            act = act0 & (iz < f32(N_SUB))
+            zs = zs_of(iz)
+            isub = isub_of(iz)
+
+            esc_now = act & ((p_x < r0) | (p_x > r1) | (p_y < r2)
+                             | (p_y > r3) | (s_z * s_z < f32(0.01)))
+            og = flush(og, esc_now, isub, gvl)
+            oe = flush(oe, esc_now, isub, evl)
+            oi = flush(oi, esc_now, isub, ivl)
+            esc = esc_b | esc_now
+            work = act & ~esc_now
+
+            # ---- fetch new cells for exactly the transitioning lanes ----
+            y_eff = jnp.abs(p_y) if absy else p_y
+            if nonuniform:
+                k1m1 = _findindex(xrow8, p_x, nx_i).astype(jnp.int32) \
+                    - jnp.int32(1)
+                k2m1 = _findindex(yrow8, y_eff, ny_i).astype(jnp.int32) \
+                    - jnp.int32(1)
+            else:
+                qx = (p_x - x0) * inv_dx
+                qy = (y_eff - y0) * inv_dy
+                k1m1 = jnp.minimum(jnp.maximum(
+                    jnp.ceil(qx).astype(jnp.int32) - 1, jnp.int32(0)),
+                    nx_i - jnp.int32(2))
+                k2m1 = jnp.minimum(jnp.maximum(
+                    jnp.ceil(qy).astype(jnp.int32) - 1, jnp.int32(0)),
+                    ny_i - jnp.int32(2))
+            if nslab == 1:
+                lane, rowid = k1m1, k2m1
+            else:
+                slab = jnp.floor(k1m1.astype(f32)
+                                 * f32(1.0 / TILE_LANES)).astype(jnp.int32)
+                lane = k1m1 - slab * jnp.int32(TILE_LANES)
+                rowid = k2m1 * jnp.int32(nslab) + slab
+            # carried cell channels double as the masked-lane defaults, so
+            # the fetch loop IS the carry update for channels 0-7
+            vals0 = [st["cn1"], st["cn2"], st["cn3"], st["cn4"],
+                     st["cgx1"], st["cgxd"], st["cgy1"], st["cgyd"]] \
+                + [zero] * (nch - 8)
+            vals = _fetch_cells(tab_ref.at[jnp.int32(ii)], lane, rowid,
+                                work, nch, vals0)
+            cn1, cn2, cn3, cn4 = vals[0], vals[1], vals[2], vals[3]
+            cgx1, cgxd, cgy1, cgyd = vals[4], vals[5], vals[6], vals[7]
+
+            if nonuniform:
+                cxlo = jnp.where(work, vals[gbase + 0], st["cxlo"])
+                cdxc = jnp.where(work, vals[gbase + 1], st["cdxc"])
+                cylo = jnp.where(work, vals[gbase + 2], st["cylo"])
+                cdyc = jnp.where(work, vals[gbase + 3], st["cdyc"])
+                cinvdx = jnp.where(work, f32(1.0) / vals[gbase + 1],
+                                   st["cinvdx"])
+                cinvdy = jnp.where(work, f32(1.0) / vals[gbase + 3],
+                                   st["cinvdy"])
+                dxc_l, dyc_l = cdxc, cdyc
+                inv_dx_l, inv_dy_l = cinvdx, cinvdy
+                box0_l = f32(0.1) * cdxc
+                box1_l = f32(0.1) * cdyc
+            else:
+                cxlo = jnp.where(work, x0 + k1m1.astype(f32) * dxc,
+                                 st["cxlo"])
+                cylo = jnp.where(work, y0 + k2m1.astype(f32) * dyc,
+                                 st["cylo"])
+                dxc_l, dyc_l = dxc, dyc
+                inv_dx_l, inv_dy_l = inv_dx, inv_dy
+                box0_l = f32(0.1) * dxc
+                box1_l = f32(0.1) * dyc
+            dxi = (p_x - cxlo) * inv_dx_l
+            dyi = (y_eff - cylo) * inv_dy_l
+            dxi2c = f32(1.0) - dxi
+            dyi2c = f32(1.0) - dyi
+            g0c_n = ((dxi * vals[9] + dxi2c * vals[8]) * dyi2c
+                     + (dxi * vals[11] + dxi2c * vals[10]) * dyi)
+            cg0 = jnp.where(work, g0c_n, st["cg0"])
+            if use_emis:
+                E0c_n = ((dxi * vals[13] + dxi2c * vals[12]) * dyi2c
+                         + (dxi * vals[15] + dxi2c * vals[14]) * dyi)
+                ce0 = jnp.where(work, jnp.maximum(E0c_n, f32(0.0)),
+                                st["ce0"])
+            ck2 = jnp.where(work, k2m1.astype(f32), st["ck2"])
+            ci1 = jnp.where(work, (k1m1 + k2m1 * nx_i).astype(f32),
+                            st["ci1"])
+            cdz2 = jnp.where(work, zs - z, st["cdz2"])
+
+            # round-invariant cell bounds (same f32 expressions as the
+            # nested structure's per-fetch constants)
+            exlo = cxlo - f32(0.1) * dxc_l
+            exhi = cxlo + dxc_l + f32(0.1) * dxc_l
+            eyhi = cylo + dyc_l + f32(0.1) * dyc_l
+            eylo_raw = cylo - f32(0.1) * dyc_l
+            if absy:
+                eylo = jnp.where(ck2 < f32(0.5), -eyhi, eylo_raw)
+            else:
+                eylo = eylo_raw
+
+            def interp_cell(px_, py_, z2_):
+                q_y = jnp.abs(py_) if absy else py_
+                dxi2 = (px_ - cxlo) * inv_dx_l
+                dyi2 = (q_y - cylo) * inv_dy_l
+                n0 = ((dxi2 * cn2 + (f32(1.0) - dxi2) * cn1)
+                      * (f32(1.0) - dyi2)
+                      + (dxi2 * cn4 + (f32(1.0) - dxi2) * cn3) * dyi2)
+                dndx = cgx1 + dyi2 * cgxd
+                dndy = cgy1 + dxi2 * cgyd
+                if absy:
+                    dndy = jnp.where(py_ < 0, -dndy, dndy)
+                box2 = cdz2 - z2_
+                return n0, dndx, dndy, box2
+
+            # ---- init a fresh walk on the fetched lanes ------------------
+            l1a0 = work & ((p_x > exlo) & (p_x < exhi) & (y_eff > eylo)
+                           & (y_eff < eyhi) & (zero < f32(0.999) * cdz2))
+            n0i, dndxi, dndyi, box2i = interp_cell(p_x, p_y, zero)
+            wsel = lambda new, old_: jnp.where(work, new, old_)
+            s1 = {
+                "px": p_x, "py": p_y, "pz": wsel(zero, st["pz"]),
+                "sx": st["sx"], "sy": st["sy"], "sz": s_z,
+                "z2": wsel(zero, st["z2"]), "ds": wsel(zero, st["ds"]),
+                "rx": wsel(zero, st["rx"]), "ry": wsel(zero, st["ry"]),
+                "rz": wsel(zero, st["rz"]), "path": wsel(zero, st["path"]),
+                "n0": wsel(n0i, st["n0"]), "dndx": wsel(dndxi, st["dndx"]),
+                "dndy": wsel(dndyi, st["dndy"]),
+                "box2": wsel(box2i, st["box2"]),
+                "n_lag": wsel(n0i, st["n_lag"]),
+                "act": _m(walk | l1a0),
+                **({"nst": st["nst"]} if counting else {}),
+            }
+
+            def fl_one_step(s1):
+                a1 = _b(s1["act"])
+                n0, dndx, dndy = s1["n0"], s1["dndx"], s1["dndy"]
+                box2 = s1["box2"]
+                n = n0 + s1["rx"] * dndx + s1["ry"] * dndy
+                # MUST match ops/fast_stepper.py expression-for-expression
+                # (per-lane step sequences stay in lockstep)
+                invn = f32(1.0) / n
+                t = (s1["sx"] * dndx + s1["sy"] * dndy + f32(1e-12)) * invn
+                fx = dndx * invn - s1["sx"] * t
+                fy = dndy * invn - s1["sy"] * t
+                fz = -s1["sz"] * t
+                step = f32(c) * f32(0.1) / jnp.abs(t)
+                step = jnp.minimum(step, f32(c) * f32(1.00001) * box2)
+                step2 = f32(1.0001) * (box2 - jnp.abs(s1["rz"])) \
+                    / jnp.abs(s1["sz"])
+                step3 = f32(c) * f32(0.05) * (jnp.abs(s1["sx"]) + f32(5e-4)) \
+                    / (jnp.abs(fx) + f32(1e-8))
+                step4 = f32(c) * f32(0.05) * (jnp.abs(s1["sy"]) + f32(5e-4)) \
+                    / (jnp.abs(fy) + f32(1e-8))
+                step = jnp.minimum(jnp.minimum(step, step2),
+                                   jnp.minimum(step3, step4))
+                st_ = step * t
+                c1 = f32(0.5) * step * step * (
+                    f32(1.0) - st_ * f32(1.0 / 3.0)
+                    + (st_ * st_) * f32(1.0 / 12.0))
+                rx = s1["rx"] + s1["sx"] * step + c1 * fx
+                ry = s1["ry"] + s1["sy"] * step + c1 * fy
+                rz = s1["rz"] + s1["sz"] * step + c1 * fz
+                c2 = step * (f32(1.0) - f32(0.5) * st_
+                             + (st_ * st_) * f32(1.0 / 6.0))
+                ux = s1["sx"] + c2 * fx
+                uy = s1["sy"] + c2 * fy
+                uz = s1["sz"] + c2 * fz
+                inv = jax.lax.rsqrt(ux * ux + uy * uy + uz * uz)
+                ux, uy, uz = ux * inv, uy * inv, uz * inv
+                path = s1["path"] + step
+                n_lag = n
+
+                sel = lambda p, q: jnp.where(a1, p, q)
+                rx = sel(rx, s1["rx"])
+                ry = sel(ry, s1["ry"])
+                rz = sel(rz, s1["rz"])
+                ux = sel(ux, s1["sx"])
+                uy = sel(uy, s1["sy"])
+                uz = sel(uz, s1["sz"])
+                path = sel(path, s1["path"])
+                n_lag = sel(n_lag, s1["n_lag"])
+
+                l2_ok = ((jnp.abs(rx) < box0_l) & (jnp.abs(ry) < box1_l)
+                         & (jnp.abs(rz) < box2)
+                         & (jnp.abs(n_lag - n0) < f32(0.05)))
+                commit = a1 & ~l2_ok
+                csel = lambda p, q: jnp.where(commit, p, q)
+                px_ = csel(s1["px"] + rx, s1["px"])
+                py_ = csel(s1["py"] + ry, s1["py"])
+                pz_ = csel(s1["pz"] + rz, s1["pz"])
+                z2_ = csel(s1["z2"] + jnp.abs(rz), s1["z2"])
+                ds_ = csel(s1["ds"] + path, s1["ds"])
+                y2n = jnp.abs(py_) if absy else py_
+                l1_ok = ((px_ > exlo) & (px_ < exhi) & (y2n > eylo)
+                         & (y2n < eyhi) & (z2_ < f32(0.999) * cdz2))
+                reinit = commit & l1_ok
+                n0n, dndxn, dndyn, box2n = interp_cell(px_, py_, z2_)
+                rsel = lambda p, q: jnp.where(reinit, p, q)
+                zero_ = jnp.zeros_like(px_)
+                return {
+                    "px": px_, "py": py_, "pz": pz_,
+                    "sx": ux, "sy": uy, "sz": uz,
+                    "z2": z2_, "ds": ds_,
+                    "rx": rsel(zero_, rx), "ry": rsel(zero_, ry),
+                    "rz": rsel(zero_, rz), "path": rsel(zero_, path),
+                    "n0": rsel(n0n, n0), "dndx": rsel(dndxn, dndx),
+                    "dndy": rsel(dndyn, dndy), "box2": rsel(box2n, box2),
+                    "n_lag": rsel(n0n, n_lag),
+                    "act": _m(a1 & (l2_ok | reinit)),
+                    **({"nst": jnp.where(a1, s1["nst"] + f32(1.0),
+                                         s1["nst"])} if counting else {}),
+                }
+
+            for _ in range(fl_unroll):
+                s1 = fl_one_step(s1)
+
+            return {
+                "px": s1["px"], "py": s1["py"], "sx": s1["sx"],
+                "sy": s1["sy"], "sz": s1["sz"],
+                "z": z, "esc": _m(esc), "iz": iz,
+                "gvl": gvl, "evl": evl, "ivl": ivl,
+                "og0": og[0], "og1": og[1], "og2": og[2],
+                "oe0": oe[0], "oe1": oe[1], "oe2": oe[2],
+                "oi0": oi[0], "oi1": oi[1], "oi2": oi[2],
+                "act": s1["act"], "pend": _m(walk | work),
+                "rx": s1["rx"], "ry": s1["ry"], "rz": s1["rz"],
+                "path": s1["path"], "z2": s1["z2"], "ds": s1["ds"],
+                "pz": s1["pz"], "n0": s1["n0"], "dndx": s1["dndx"],
+                "dndy": s1["dndy"], "box2": s1["box2"],
+                "n_lag": s1["n_lag"],
+                "cn1": cn1, "cn2": cn2, "cn3": cn3, "cn4": cn4,
+                "cgx1": cgx1, "cgxd": cgxd, "cgy1": cgy1, "cgyd": cgyd,
+                "cg0": cg0, "cxlo": cxlo, "cylo": cylo,
+                "ck2": ck2, "ci1": ci1, "cdz2": cdz2,
+                **({"ce0": ce0} if use_emis else {}),
+                **({"cdxc": cdxc, "cdyc": cdyc,
+                    "cinvdx": cinvdx, "cinvdy": cinvdy}
+                   if nonuniform else {}),
+                **({"nst": s1["nst"]} if counting else {}),
+            }
+
+        zseg = px0 * f32(0.0)
+        st0 = {
+            "px": px0, "py": py0, "sx": sx0, "sy": sy0, "sz": sz0,
+            "z": zseg, "esc": escf0, "iz": zseg,
+            "gvl": zseg, "evl": zseg, "ivl": zseg,
+            "og0": zseg, "og1": zseg, "og2": zseg,
+            "oe0": zseg, "oe1": zseg, "oe2": zseg,
+            "oi0": zseg, "oi1": zseg, "oi2": zseg,
+            "act": zseg, "pend": zseg,
+            "rx": zseg, "ry": zseg, "rz": zseg, "path": zseg,
+            "z2": zseg, "ds": zseg, "pz": zseg,
+            "n0": zseg, "dndx": zseg, "dndy": zseg, "box2": zseg,
+            "n_lag": zseg,
+            "cn1": zseg, "cn2": zseg, "cn3": zseg, "cn4": zseg,
+            "cgx1": zseg, "cgxd": zseg, "cgy1": zseg, "cgyd": zseg,
+            "cg0": zseg, "cxlo": zseg, "cylo": zseg,
+            "ck2": zseg, "ci1": zseg, "cdz2": zseg,
+            **({"ce0": zseg} if use_emis else {}),
+            **({"cdxc": zseg, "cdyc": zseg, "cinvdx": zseg, "cinvdy": zseg}
+               if nonuniform else {}),
+            **({"nst": nstf} if counting else {}),
+        }
+        st = jax.lax.while_loop(l0_cond, l0_body, st0)
+        iim1 = ii - jnp.int32(1)
+        for s in range(N_SUB):
+            gvl_ref[pl.ds(iim1, 1), s] = st[f"og{s}"][None]
+            evl_ref[pl.ds(iim1, 1), s] = st[f"oe{s}"][None]
+            ivl_ref[pl.ds(iim1, 1), s] = st[f"oi{s}"].astype(jnp.int32)[None]
+        return (st["px"], st["py"], st["sx"], st["sy"], st["sz"], st["esc"]
+                ) + ((st["nst"],) if counting else ())
+
+    body = seg_body_merged if structure == "merged" else seg_body
     carry = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(nseg), seg_body,
+        jnp.int32(0), jnp.int32(nseg), body,
         (px, py, sx, sy, sz, escf) + ((zerosf,) if counting else ()))
     px, py, sx, sy, sz, escf = carry[:6]
 
@@ -746,9 +1130,10 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
 
 @functools.partial(jax.jit, static_argnames=("meta_key", "N", "dz0", "c",
                                               "interpret", "counts",
-                                              "fl_unroll"))
+                                              "fl_unroll", "structure"))
 def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret,
-                     counts=False, fl_unroll=FL_UNROLL):
+                     counts=False, fl_unroll=FL_UNROLL,
+                     structure=KERNEL_STRUCTURE):
     pg_meta = dict(meta_key)
     T = rx.shape[0]
     nseg = N - 1
@@ -765,7 +1150,8 @@ def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret,
     sx, sy, sz = sx * inv, sy * inv, sz * inv
 
     kernel = functools.partial(_stepper_kernel, pg_meta=pg_meta, N=N,
-                               dz0=dz0, c=c, fl_unroll=fl_unroll)
+                               dz0=dz0, c=c, fl_unroll=fl_unroll,
+                               structure=structure)
     grid = (T,)
 
     # per-segment geometry scalars for the kernel's SMEM-driven segment
@@ -866,7 +1252,8 @@ def meta_key_of(pg: PackedGain, method: int) -> tuple:
 
 def trace_tiles(rays, N: int, dz0: float, pg: PackedGain, method: int,
                 c: float = 0.5, interpret: bool | None = None,
-                counts: bool = False, fl_unroll: int = FL_UNROLL):
+                counts: bool = False, fl_unroll: int | None = None,
+                structure: str | None = None):
     """Run the Pallas stepper over [T, 8, 128]-tiled ray batches.
 
     ``rays``: dict of float32 [T, 8, 128] arrays x/y/a/b.
@@ -878,11 +1265,21 @@ def trace_tiles(rays, N: int, dz0: float, pg: PackedGain, method: int,
     ops) instead of Mosaic. Defaults to True off-TPU, which is what lets the
     multi-chip path (parallel/sharding.py) run this backend on the virtual
     CPU mesh with identical semantics.
+
+    ``structure``/``fl_unroll``: loop structure (KERNEL_STRUCTURE default)
+    and micro-steps per round (structure-specific default; see FL_UNROLL /
+    MERGED_UNROLL). Per-lane results are bitwise identical across all
+    combinations -- these are scheduling knobs, not numerics knobs.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if structure is None:
+        structure = KERNEL_STRUCTURE
+    if fl_unroll is None:
+        fl_unroll = MERGED_UNROLL if structure == "merged" else FL_UNROLL
     meta_key = meta_key_of(pg, method)
     return _trace_tiles_jit(rays["x"], rays["y"], rays["a"], rays["b"],
                             pg.tables, meta_key, N, float(dz0), float(c),
                             bool(interpret), counts=bool(counts),
-                            fl_unroll=int(fl_unroll))
+                            fl_unroll=int(fl_unroll),
+                            structure=str(structure))

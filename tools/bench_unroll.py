@@ -1,20 +1,23 @@
 #!/usr/bin/env python
-"""TPU A/B: trace-kernel cost vs FL_UNROLL (micro-steps per while round).
+"""TPU A/B: trace-kernel cost vs loop structure x unroll.
 
-The pallas stepper takes FL_UNROLL micro-steps per while round to amortize
-the round overhead (cross-lane cond reduction + carry re-yield) against
-masked idle steps in the tail (ops/pallas_kernel.py FL_UNROLL notes; the
-lever that cut ASE-class trace ~24%). The best factor depends on the
-per-round body cost, so re-sweep after any micro-step-body change.
+The pallas stepper takes fl_unroll micro-steps per while round to amortize
+the round overhead against masked idle steps in the tail, and supports two
+loop structures (ops/pallas_kernel.py KERNEL_STRUCTURE: "nested" syncs the
+tile at every cell boundary, "merged" folds the fetch into the micro-step
+loop). Both knobs only change lane scheduling; re-sweep after any
+micro-step-body change.
 
 Protocol (ROADMAP.md "Benchmarking on this rig"): trace-only scanner --
 S pipeline executions inside ONE jit over distinct per-step tables
 (scan-differencing removes link cost and defeats the tunnel's whole-jit
-result cache); unroll factors interleaved rep-by-rep so link weather
-cancels; best-of compared. Outputs are bitwise identical across unrolls
-(per-lane step sequences unchanged), so this is timing-only.
+result cache); variants interleaved rep-by-rep so link weather cancels;
+best-of compared. Per-lane step sequences are identical across variants,
+so this is timing-only.
 
-Usage: python tools/bench_unroll.py [input.dat] [scale] [S] [reps] [u1,u2,...]
+Usage: python tools/bench_unroll.py [input.dat] [scale] [S] [reps] \
+           [variant,...]   with variant = U (default structure) or
+                            STRUCTURE:U, e.g. merged:3,nested:6
 """
 
 import json
@@ -30,8 +33,18 @@ INPUT = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/ASE_small.dat"
 SCALE = float(sys.argv[2]) if len(sys.argv) > 2 else 16.0
 S = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 4
-UNROLLS = ([int(u) for u in sys.argv[5].split(",")] if len(sys.argv) > 5
-           else [4, 6, 8])
+
+
+def _parse_variant(v):
+    if ":" in v:
+        s, u = v.split(":")
+        return (s, int(u))
+    return (None, int(v))
+
+
+VARIANTS = ([_parse_variant(u) for u in sys.argv[5].split(",")]
+            if len(sys.argv) > 5
+            else [("nested", 6), ("merged", 2), ("merged", 3), ("merged", 4)])
 
 
 def main():
@@ -58,12 +71,14 @@ def main():
     n_chunks = cfg["n_chunks"]
     orig_trace_tiles = pk.trace_tiles
 
-    def scanner_for(unroll, S_):
-        # route the unroll override through the module hook make_pallas_
-        # trace_fn resolves at call time (trace_tiles' own default binds
-        # FL_UNROLL at def time, so patching the constant would be a no-op)
+    def scanner_for(variant, S_):
+        structure, unroll = variant
+        # route the override through the module hook make_pallas_trace_fn
+        # resolves at call time (trace_tiles' own default binds the module
+        # constants at def time, so patching those would be a no-op)
         pk.trace_tiles = functools.partial(orig_trace_tiles,
-                                           fl_unroll=unroll)
+                                           fl_unroll=unroll,
+                                           structure=structure)
         try:
             trace_fn = rt.make_pallas_trace_fn(cfg)
 
@@ -98,32 +113,38 @@ def main():
         f = 1.0 + 1e-6 * r
         return np.stack([tt_h * np.float32(f + 1e-6 * s) for s in range(S)])
 
-    fns = {}
-    for u in UNROLLS:
-        print(f"compiling unroll={u} (S={S} and S=1)...", file=sys.stderr)
-        fns[u] = (scanner_for(u, S), scanner_for(u, 1))
+    def tag(v):
+        s, u = v
+        return f"{s or 'default'}:u{u}"
 
-    best = {u: [] for u in UNROLLS}
+    fns = {}
+    for v in VARIANTS:
+        print(f"compiling {tag(v)} (S={S} and S=1)...", file=sys.stderr)
+        fns[v] = (scanner_for(v, S), scanner_for(v, 1))
+
+    best = {v: [] for v in VARIANTS}
     checks = {}
     r = 0
     for rep in range(REPS):
-        for u in UNROLLS:  # interleaved: weather cancels across unrolls
-            fs, f1 = fns[u]
+        for v in VARIANTS:  # interleaved: weather cancels across variants
+            fs, f1 = fns[v]
             xs = stack_t(r := r + 1)
             t0 = time.perf_counter()
-            v = float(fs(pack_h, xs))
+            val = float(fs(pack_h, xs))
             ts = time.perf_counter() - t0
             t0 = time.perf_counter()
             float(f1(pack_h, xs[:1]))
             t1 = time.perf_counter() - t0
-            best[u].append((ts - t1) / (S - 1))
-            checks.setdefault(r, v)
+            best[v].append((ts - t1) / (S - 1))
+            checks.setdefault(r, val)
     out = {"input": os.path.basename(INPUT), "scale": SCALE, "S": S,
-           "reps": REPS, "default": pk.FL_UNROLL}
-    for u in UNROLLS:
-        out[f"trace_s_u{u}_best"] = round(min(best[u]), 4)
-        out[f"trace_s_u{u}_med"] = round(sorted(best[u])[len(best[u]) // 2],
-                                         4)
+           "reps": REPS,
+           "default": f"{pk.KERNEL_STRUCTURE}:u"
+                      f"{pk.MERGED_UNROLL if pk.KERNEL_STRUCTURE == 'merged' else pk.FL_UNROLL}"}
+    for v in VARIANTS:
+        out[f"trace_s_{tag(v)}_best"] = round(min(best[v]), 4)
+        out[f"trace_s_{tag(v)}_med"] = round(
+            sorted(best[v])[len(best[v]) // 2], 4)
     print(json.dumps(out))
 
 

@@ -167,10 +167,122 @@ def analyze(name, problem, method, chunk=65536):
     return steps
 
 
+def census_rec(problem, method, chunk):
+    """Per-lane, per-segment, per-l0-round micro-step records (encoded
+    steps+1 when the lane participated; see fast_stepper.DEBUG_RECORD).
+    Yields (lo, hi, rec[B, nseg, RMAX]) per chunk to keep memory bounded."""
+    beam = problem.euv_beam
+    use_emis = method == 1
+    ft = fs.pack_fast_tables(problem.gain, use_emis)
+    X, Y, A, B_ = ray_entries(problem)
+    n = len(X)
+    fs.DEBUG_COUNTERS = True
+    fs.DEBUG_RECORD = True
+    try:
+        fn = None
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            pad = chunk - (hi - lo)
+            rays = {
+                "x": jnp.asarray(np.pad(X[lo:hi].astype(np.float32), (0, pad))),
+                "y": jnp.asarray(np.pad(Y[lo:hi].astype(np.float32), (0, pad))),
+                "a": jnp.asarray(np.pad(A[lo:hi].astype(np.float32), (0, pad))),
+                "b": jnp.asarray(np.pad(B_[lo:hi].astype(np.float32), (0, pad))),
+            }
+            if fn is None:
+                def fn(rays):
+                    _, ctr = fs.trace_batch_fast(
+                        rays, problem.N, float(beam.dz), ft, method,
+                        use_emis=use_emis)
+                    return jnp.stack(ctr["rec"], axis=1)
+                fn = jax.jit(fn)
+            yield lo, hi, np.asarray(fn(rays))  # padded lanes: rec == 0
+    finally:
+        fs.DEBUG_COUNTERS = False
+        fs.DEBUG_RECORD = False
+
+
+def cellsync_analyze(name, problem, method, chunk=65536,
+                     unrolls=(1, 2, 3, 6)):
+    """Compare three kernel round structures on the true step records:
+
+    * CURRENT: per l0 round (one cell walk per lane), the inner while syncs
+      the whole tile -- rounds = sum over l0 rounds of ceil(tile-max/U).
+    * MERGED (per segment): one loop; each round = masked fetch phase for
+      lanes needing a cell + U micro-steps on the lane's own cell. A lane's
+      busy rounds = sum over its cells of ceil(steps/U) (0-step fetch-only
+      rounds count 1); tile rounds = max over lanes (lanes independent).
+    * MERGED-X (cross segment): lanes also roll into their next segment
+      without waiting for the tile -- busy rounds sum across segments
+      before the tile max.
+
+    Reported per unroll U: micro-step SLOTS (rounds*U, the vector-ALU time
+    proxy) and ROUNDS (the per-round overhead proxy: while-cond + carry
+    yield + fetch phase). The fetch-phase count for CURRENT is the number
+    of l0 rounds with any participating lane (one fetch loop each).
+    """
+    t0 = time.time()
+    tot_steps = 0
+    cur_slots = {u: 0 for u in unrolls}
+    cur_rounds = {u: 0 for u in unrolls}
+    cur_fetch = 0
+    mrg_rounds = {u: 0 for u in unrolls}
+    mrgx_rounds = {u: 0 for u in unrolls}
+    for lo, hi, rec in census_rec(problem, method, chunk):
+        B, nseg, R = rec.shape
+        part = rec > 0
+        steps = np.maximum(rec - 1, 0)
+        tot_steps += int(steps.sum())
+        t = steps.reshape(-1, TILE, nseg, R)         # [tiles, lane, seg, r]
+        tp = part.reshape(-1, TILE, nseg, R)
+        mx = t.max(axis=1)                           # [tiles, seg, r]
+        anyp = tp.any(axis=1)                        # [tiles, seg, r]
+        cur_fetch += int(anyp.sum())
+        for u in unrolls:
+            r_u = -(-mx // u)                        # ceil(max/u) inner rounds
+            cur_rounds[u] += int(r_u.sum())
+            cur_slots[u] += int(r_u.sum()) * u
+            # merged: per-lane busy rounds per (seg): ceil(steps/u), 0-step
+            # participated rounds cost 1 fetch-only round
+            busy = -(-t // u) + (tp & (t == 0))      # [tiles, lane, seg, r]
+            busy_seg = busy.sum(axis=3)              # [tiles, lane, seg]
+            mrg_rounds[u] += int(busy_seg.max(axis=1).sum())
+            mrgx_rounds[u] += int(busy_seg.sum(axis=2).max(axis=1).sum())
+    print(f"\n=== cellsync {name}: true steps {tot_steps}, "
+          f"{time.time()-t0:.0f}s ===")
+    print(f"CURRENT fetch phases (l0 rounds with work): {cur_fetch}")
+    hdr = (f"{'U':>3s} {'cur slots':>12s} {'cur rounds':>11s} "
+           f"{'mrg slots':>12s} {'mrg rounds':>11s} {'mrgx slots':>12s} "
+           f"{'slot speedup':>13s} {'x-speedup':>10s}")
+    print(hdr)
+    for u in unrolls:
+        ms = mrg_rounds[u] * u
+        mxs = mrgx_rounds[u] * u
+        print(f"{u:>3d} {cur_slots[u]:>12d} {cur_rounds[u]:>11d} "
+              f"{ms:>12d} {mrg_rounds[u]:>11d} {mxs:>12d} "
+              f"{cur_slots[u]/ms:>12.2f}x {cur_slots[u]/mxs:>9.2f}x")
+    print(f"(util at U=1: current {tot_steps/max(cur_slots[1],1):.1%}, "
+          f"merged {tot_steps/max(mrg_rounds[1],1):.1%}, "
+          f"merged-x {tot_steps/max(mrgx_rounds[1],1):.1%})")
+
+
 def main():
     args = set(sys.argv[1:])
     save = "--save" in args
-    which = (args - {"--save"}) or {"ase"}
+    cellsync = "--cellsync" in args
+    which = (args - {"--save", "--cellsync"}) or {"ase"}
+    if cellsync:
+        if "ase" in which:
+            p, _, _ = load_input(ASE)
+            cellsync_analyze("ASE_small (backward)", p, 1, chunk=57344)
+        if "seed" in which:
+            p, _, _ = load_input(SEED)
+            cellsync_analyze("seed_small (forward)", p, 2)
+        if "scale16" in which:
+            p, _, _ = load_input(ASE)
+            scale_problem(p, 16.0)
+            cellsync_analyze("ASE scale16", p, 1)
+        return
 
     def _save(tag, steps):
         if save:
