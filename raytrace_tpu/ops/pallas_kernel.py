@@ -364,9 +364,13 @@ FL_UNROLL = 6
 KERNEL_STRUCTURE = os.environ.get("RAYTRACE_KERNEL_STRUCTURE", "merged")
 #: micro-steps per merged-loop round: the service phase runs every round,
 #: so the unroll trades service overhead against end-of-cell idle slots
-#: (a lane idles the rest of a round once its cell walk ends; the slot
-#: model puts the optimum at 2-4, measured on TPU in tools/bench_merged.py)
-MERGED_UNROLL = int(os.environ.get("RAYTRACE_MERGED_UNROLL", "4"))
+#: (a lane idles the rest of a round once its cell walk ends). The slot
+#: model puts the optimum at 2-4, but measured trace cost on the real TPU
+#: is flat-to-falling through u6 (scan-differenced interleaved A/B,
+#: tools/bench_unroll.py): scale16 ASE u4/u5/u6 = 0.334-0.336 s (flat);
+#: seed_small u3 0.2452 / u4 0.2344 / u6 0.2331 s best -- so 6, matching
+#: FL_UNROLL on the nested structure.
+MERGED_UNROLL = int(os.environ.get("RAYTRACE_MERGED_UNROLL", "6"))
 
 
 def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
