@@ -70,6 +70,14 @@ def _split_prod(a, b):
     return p, err
 
 
+# Horner coefficients as f32 reciprocal constants: the true f32 divide is
+# multi-op on the VPU and this chain runs per (ray, k, segment, sub-length);
+# f * float32(1/k) differs from f / k by <= 1 ulp per term, far below the
+# polynomial's 5e-9 truncation (same trick the steppers use for their
+# constant divides). Measured accuracy unchanged (test_exp_fast2_accuracy).
+_RCP = {k: float(np.float32(1.0 / k)) for k in (2, 3, 4, 5, 6, 7)}
+
+
 def _exp_fast2(hi, lo):
     """Unbiased ~1e-7-relative exp of the two-float value hi + lo, pure f32.
 
@@ -82,24 +90,34 @@ def _exp_fast2(hi, lo):
     """
     n = jnp.round(hi * f32(_LOG2E))
     f = ((hi - n * f32(_LN2_HI)) + lo) - n * f32(_LN2_LO)
-    e = f32(1.0) + f / 7
-    for k in (6, 5, 4, 3, 2, 1):
-        e = f32(1.0) + (f / k) * e
+    e = f32(1.0) + f * f32(_RCP[7])
+    for k in (6, 5, 4, 3, 2):
+        e = f32(1.0) + (f * f32(_RCP[k])) * e
+    e = f32(1.0) + f * e
     return jnp.ldexp(e, n.astype(jnp.int32))
 
 
-def _expm1_fast2(hi, lo):
-    """Unbiased expm1 companion: direct polynomial when |g| <= ln2/2 (no
-    cancellation), exp-1 otherwise (where it is well-conditioned)."""
+def _expm1_from_exp(exp_val, hi, lo):
+    """expm1 given the already-computed exp of the same (hi, lo) pair:
+    direct polynomial when |g| <= ln2/2 (no cancellation), exp-1 otherwise
+    (where it is well-conditioned). Reusing ``exp_val`` saves a whole
+    second exp polynomial per element on the ASE amplify path; for
+    |hi| > ln2/2 the subtraction is bitwise what a fresh exp would give."""
     small = jnp.abs(hi) <= f32(0.5 * _LN2)
     f = jnp.where(small, hi + lo, f32(0.0))
-    e = f32(1.0) + f / 7
+    e = f32(1.0) + f * f32(_RCP[7])
     for k in (6, 5, 4, 3, 2):
-        e = f32(1.0) + (f / k) * e
+        e = f32(1.0) + (f * f32(_RCP[k])) * e
     poly = f * e  # f(1 + f/2(1 + f/3(...)))
-    return jnp.where(small, poly,
-                     _exp_fast2(jnp.where(small, f32(1.0), hi),
-                                jnp.where(small, f32(0.0), lo)) - f32(1.0))
+    return jnp.where(small, poly, exp_val - f32(1.0))
+
+
+def _expm1_fast2(hi, lo):
+    """Unbiased expm1 of the two-float value hi + lo (standalone form)."""
+    small = jnp.abs(hi) <= f32(0.5 * _LN2)
+    exp_val = _exp_fast2(jnp.where(small, f32(1.0), hi),
+                         jnp.where(small, f32(0.0), lo))
+    return _expm1_from_exp(exp_val, hi, lo)
 
 
 def _exp_fast(g64):
@@ -107,9 +125,10 @@ def _exp_fast(g64):
     with the range reduction done on the f64 value."""
     n = jnp.round(g64 * _LOG2E)
     f = (g64 - n * _LN2).astype(jnp.float32)
-    e = jnp.float32(1.0) + f / 7
-    for k in (6, 5, 4, 3, 2, 1):
-        e = jnp.float32(1.0) + (f / k) * e
+    e = jnp.float32(1.0) + f * f32(_RCP[7])
+    for k in (6, 5, 4, 3, 2):
+        e = jnp.float32(1.0) + (f * f32(_RCP[k])) * e
+    e = jnp.float32(1.0) + f * e
     return jnp.ldexp(e, n.astype(jnp.int32))
 
 
@@ -148,7 +167,7 @@ def amplify(res: TraceResult, Iv0, gv, N: int, use_emis: bool,
                     glz = jnp.where(small, f32(0.0), gl)
                     glz_lo = jnp.where(small, f32(0.0), gl_lo)
                     exp_gl = _exp_fast2(glz, glz_lo)
-                    em1 = _expm1_fast2(glz, glz_lo)
+                    em1 = _expm1_from_exp(exp_gl, glz, glz_lo)
                 else:
                     gl = (res.gvl[:, i, isub, None].astype(jnp.float64)
                           * gv_row.astype(jnp.float64))
