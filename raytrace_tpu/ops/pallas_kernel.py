@@ -1272,13 +1272,19 @@ def trace_tiles(rays, N: int, dz0: float, pg: PackedGain, method: int,
 
     ``structure``/``fl_unroll``: loop structure (KERNEL_STRUCTURE default)
     and micro-steps per round (structure-specific default; see FL_UNROLL /
-    MERGED_UNROLL). Per-lane results are bitwise identical across all
-    combinations -- these are scheduling knobs, not numerics knobs.
+    MERGED_UNROLL). Per-lane step SEQUENCES (cell ids, step counts) are
+    identical across all combinations; float outputs are bitwise identical
+    across ``fl_unroll`` values within a structure, but nested vs merged
+    differ by compiler FMA-contraction ulps (see the KERNEL_STRUCTURE note
+    above) -- scheduling knobs, not semantics knobs.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if structure is None:
         structure = KERNEL_STRUCTURE
+    if structure not in ("merged", "nested"):
+        raise ValueError(f"unknown kernel structure {structure!r} "
+                         "(expected 'merged' or 'nested')")
     if fl_unroll is None:
         fl_unroll = MERGED_UNROLL if structure == "merged" else FL_UNROLL
     meta_key = meta_key_of(pg, method)

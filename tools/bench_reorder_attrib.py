@@ -35,17 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 INPUT = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/ASE_small.dat"
 SCALE = float(sys.argv[2]) if len(sys.argv) > 2 else 16.0
 S = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-
-
-def _best(fn, n, *, prep=None):
-    ts = []
-    for i in range(n):
-        arg = prep(i) if prep is not None else None
-        t0 = time.perf_counter()
-        fn(arg)
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[0]
+assert S >= 2, "scan-differencing needs S >= 2 (per-call = (tS - t1)/(S-1))"
 
 
 def main():
@@ -270,10 +260,12 @@ def main():
         return make
 
     res = measure_interleaved({
+        "plain": make_plain,
         "plain_counts": make_plain_variant(True),
         "c1_permgather": make_bisect(1),
         "c2_argsort": make_bisect(2),
         "c3_scatter_it": make_bisect(3),
+        "argsort_only": make_argsort(counts),
         "reorder_zero": make_reorder(pc0),
         "reorder_fb": make_reorder(counts),
     })

@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 INPUT = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/ASE_small.dat"
 SCALE = float(sys.argv[2]) if len(sys.argv) > 2 else 16.0
 S = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+assert S >= 2, "scan-differencing needs S >= 2 (per-call = (tS - t1)/(S-1))"
 
 
 def _best(fn, n, *, prep=None):

@@ -33,6 +33,7 @@ INPUT = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/ASE_small.dat"
 SCALE = float(sys.argv[2]) if len(sys.argv) > 2 else 16.0
 S = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+assert S >= 2, "scan-differencing needs S >= 2 (per-call = (tS - t1)/(S-1))"
 
 
 def _parse_variant(v):
@@ -123,20 +124,34 @@ def main():
         fns[v] = (scanner_for(v, S), scanner_for(v, 1))
 
     best = {v: [] for v in VARIANTS}
-    checks = {}
-    r = 0
     for rep in range(REPS):
+        # one perturbed input stack per rep, SHARED by all variants: the
+        # checksums are then comparable (per-rep cross-variant gate below).
+        # Different variants are different executables, so the tunnel's
+        # whole-jit result cache cannot serve one variant's value to another.
+        xs = stack_t(rep + 1)
+        vals = {}
         for v in VARIANTS:  # interleaved: weather cancels across variants
             fs, f1 = fns[v]
-            xs = stack_t(r := r + 1)
             t0 = time.perf_counter()
-            val = float(fs(pack_h, xs))
+            vals[v] = float(fs(pack_h, xs))
             ts = time.perf_counter() - t0
             t0 = time.perf_counter()
             float(f1(pack_h, xs[:1]))
             t1 = time.perf_counter() - t0
             best[v].append((ts - t1) / (S - 1))
-            checks.setdefault(r, val)
+        # cross-variant value gate: unroll variants within a structure are
+        # bitwise equal; nested vs merged differ by FMA-contraction ulps
+        # (amplified by the chaotic trajectories), so gate at 1e-4 relative
+        # on the full-workload checksum -- loose enough for reassociation,
+        # tight enough to catch a wrong-kernel or wrong-mask regression
+        ref_v = next(iter(vals.values()))
+        for v, val in vals.items():
+            rel = abs(val - ref_v) / max(abs(ref_v), 1e-30)
+            assert rel < 1e-4, (
+                f"variant {tag(v)} checksum diverges: {val} vs {ref_v} "
+                f"(rel {rel:.2e}) -- the timing comparison is off a "
+                "wrong result")
     out = {"input": os.path.basename(INPUT), "scale": SCALE, "S": S,
            "reps": REPS,
            "default": f"{pk.KERNEL_STRUCTURE}:u"

@@ -196,7 +196,10 @@ def census_rec(problem, method, chunk):
                         use_emis=use_emis)
                     return jnp.stack(ctr["rec"], axis=1)
                 fn = jax.jit(fn)
-            yield lo, hi, np.asarray(fn(rays))  # padded lanes: rec == 0
+            # NOTE: lanes >= hi-lo are zero-PADDED COORDINATES, not zero
+            # records -- a (0,0,0,0) ray traces the whole grid; consumers
+            # must drop rows beyond hi-lo (cellsync_analyze zeroes them)
+            yield lo, hi, np.asarray(fn(rays))
     finally:
         fs.DEBUG_COUNTERS = False
         fs.DEBUG_RECORD = False
@@ -229,6 +232,12 @@ def cellsync_analyze(name, problem, method, chunk=65536,
     mrg_rounds = {u: 0 for u in unrolls}
     mrgx_rounds = {u: 0 for u in unrolls}
     for lo, hi, rec in census_rec(problem, method, chunk):
+        # drop the chunk's padded lanes: their (0,0,0,0) entry coords are
+        # traceable rays that walk the whole grid and would inflate the
+        # tile maxima (the real kernel's padded lanes clamp to ray 0 and
+        # are masked at deposit; zeroing matches census()'s convention)
+        rec = rec.copy()
+        rec[hi - lo:] = 0
         B, nseg, R = rec.shape
         part = rec > 0
         steps = np.maximum(rec - 1, 0)
