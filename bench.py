@@ -12,23 +12,40 @@ Also reported:
 * ``avg_seconds_per_call`` + ``stability_ok``: the reference's own headline
   statistic and reproducibility gates (stddev <= 10% of avg, max <= avg+15%,
   src/CreateImage.cpp:166-181), evaluated over the timed calls. On the
-  tunneled device link the gates routinely fail for a 0.15 s call (30-150 ms
-  of link weather per dispatch, see ROADMAP.md); the booleans are recorded
-  honestly alongside the best/median machine-capability numbers.
+  tunneled device link the gates can fail for a 0.15 s call (30-150 ms of
+  link weather per dispatch, see ROADMAP.md); the booleans are recorded
+  honestly, and the artifact is SELF-ATTRIBUTING: every row carries its
+  per-call raw seconds plus a host-prep/dispatch/wait (or, for the seeded
+  rows, host-prep/upload/wait) stage split per call, and the link probes
+  (``rtt_probe_s``, per-row upload/readback probes) bound the link's share,
+  so an outlier can be attributed to link weather vs compute from the JSON
+  alone.
+* ``provenance``: git commit, kernel structure/unroll, chunk policy, JAX
+  version -- rounds are comparable from the artifacts alone.
 * ``ase_stream_*``: serving-mode throughput via ``create_image_stream``
-  (two calls in flight: upload/compute/readback overlapped across calls,
+  (calls in flight: upload/compute/readback overlapped across calls,
   distinct tables per call). Separate from the headline because the
   reference protocol times synchronous calls.
 * ``seed_small_*``: the seeded workload (7.8M rays).
 * ``scale16_*``: the ASE_medium proxy (-scale=16 => 6.384M rays,
   Readme.txt:47-49 protocol via scale_problem). The embedded golden only
-  applies at scale 1, so correctness at scale 16 is a cross-backend gate:
+  applies at scale 1, so correctness at scale!=1 is a cross-backend gate:
   the lax backend's image is the golden and the timed pallas image must
   pass the same one-sided 5e-6 norm check (check_ans).
+* ``seed_scale4_*``: the seed_medium proxy (seed_small at -scale=4,
+  ~30.7M rays; Readme.txt:47-49), same cross-backend gate + stability
+  booleans as scale16.
+* ``hbm_*``: device memory telemetry (bytes_in_use / peak) after each
+  workload, plus a -scale=64 probe (25.5M rays): the chunked-scan design
+  claims a scale-flat device footprint (Readme.txt:46-49 problem sizing),
+  and the peak after scale64 vs scale16 quantifies it on real hardware
+  (the compile-time flatness assertion lives in
+  tests/test_create_image.py::test_chunked_scan_memory_flat).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -47,21 +64,135 @@ class _SkipAux(Exception):
         return "skipped: tpu tunnel unreachable, cpu fallback"
 
 
-def _time_perturbed(create_image, path, method, n, salt, scale=None):
+def _git_commit():
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _hbm(jax):
+    """Device memory telemetry (None when the platform has no stats --
+    e.g. the CPU backend)."""
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        if not ms:
+            return None
+        return {"bytes_in_use": int(ms.get("bytes_in_use", -1)),
+                "peak_bytes_in_use": int(ms.get("peak_bytes_in_use", -1))}
+    except Exception:
+        return None
+
+
+def _timed_calls(path, method, n, salt, scale=None, split_upload=False):
     """Time n synchronous create_image calls, each on a distinct-tables
-    copy of the snapshot (the result-cache-proof protocol; see
+    copy of the snapshot (the result-cache-proof protocol;
     testing.perturbed_problems). Host parse/scale happens outside the
     timed region; the per-call table pack + upload stays inside, matching
-    the reference protocol."""
+    the reference protocol (Readme.txt:43).
+
+    Returns (totals, calls): per-call total seconds plus a per-call stage
+    split for artifact self-attribution --
+
+    * default: ``prep`` (host-side packing), ``dispatch`` (async pipeline
+      dispatch incl. upload enqueue), ``wait`` (block on readback:
+      upload + compute + readback on the tunneled link);
+    * ``split_upload`` (single-jit rows, e.g. seeded): the operands are
+      device_put + blocked before the dispatch, so the split becomes
+      ``prep`` / ``upload`` (pure host->device link) / ``wait``
+      (compute + readback). Total semantics are unchanged -- the upload
+      stays inside the timed region, it just cannot hide behind the
+      dispatch enqueue.
+    """
+    import jax
+
+    from raytrace_tpu.models.ray_tracer import (_finalize_call,
+                                                prepare_pipeline)
     from raytrace_tpu.testing import perturbed_problems
 
     probs = perturbed_problems(path, n, salt=salt, scale=scale)
-    times = []
+    totals, calls = [], []
     for p in probs:
         t0 = time.perf_counter()
-        create_image(p, method)
-        times.append(time.perf_counter() - t0)
-    return times
+        prep = prepare_pipeline(p, method)
+        t1 = time.perf_counter()
+        ops = prep.operands
+        if split_upload:
+            dev = jax.block_until_ready(jax.device_put(
+                [o for o in ops if o is not None]))
+            it = iter(dev)
+            ops = tuple(next(it) if o is not None else None for o in ops)
+        t2 = time.perf_counter()
+        outs = prep.pipeline(*ops)
+        t3 = time.perf_counter()
+        _finalize_call(p, prep, outs, "Failed_RayTrace_rays.dat")
+        t4 = time.perf_counter()
+        totals.append(t4 - t0)
+        c = {"total_s": round(t4 - t0, 4), "prep_s": round(t1 - t0, 4),
+             "wait_s": round(t4 - t3, 4)}
+        if split_upload:
+            c["upload_s"] = round(t2 - t1, 4)
+            c["dispatch_s"] = round(t3 - t2, 4)
+        else:
+            c["dispatch_s"] = round(t3 - t1, 4)
+        calls.append(c)
+    return totals, calls
+
+
+def _row_stats(prefix, totals, calls, n_rays, stability_ok, TimingStats):
+    stats = TimingStats.of(totals)
+    best = min(totals)
+    return {
+        f"{prefix}rays_per_sec": round(n_rays / best, 1),
+        f"{prefix}best_seconds_per_call": round(best, 4),
+        f"{prefix}median_seconds_per_call": round(
+            sorted(totals)[len(totals) // 2], 4),
+        f"{prefix}avg_seconds_per_call": round(stats.avg, 4),
+        f"{prefix}std_seconds_per_call": round(stats.std, 4),
+        f"{prefix}stability_ok": bool(stability_ok(stats)),
+        f"{prefix}calls": calls,
+    }
+
+
+def _link_probes(jax, rb_shape=None):
+    """Fixed per-dispatch round trip + (optionally) a resident-array
+    readback probe: the link-cost bounds that make red stability gates
+    attributable from the artifact (ROADMAP.md ASE breakdown)."""
+    import numpy as np
+
+    out = {}
+    try:
+        tiny = jax.jit(lambda x: x + 1.0)
+        np.asarray(tiny(np.float32(0.0)))
+        ts = []
+        for i in range(7):
+            a = np.float32(i)
+            t0 = time.perf_counter()
+            np.asarray(tiny(a))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        out["rtt_probe_s"] = round(ts[0], 4)
+        out["rtt_probe_median_s"] = round(ts[len(ts) // 2], 4)
+    except Exception:
+        pass
+    if rb_shape is not None:
+        try:
+            res = [jax.block_until_ready(jax.device_put(
+                np.full(rb_shape, 1.0 + i, np.float64))) for i in range(5)]
+            ts = []
+            for b in res:
+                t0 = time.perf_counter()
+                np.asarray(b)
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            out["readback_probe_s"] = round(ts[0], 4)
+            out["readback_probe_median_s"] = round(ts[len(ts) // 2], 4)
+        except Exception:
+            pass
+    return out
 
 
 def _drain(it):
@@ -87,11 +218,22 @@ def main():
 
     from raytrace_tpu import create_image, load_input
     from raytrace_tpu.io.loader import scale_problem
+    from raytrace_tpu.ops import pallas_kernel as pk
     from raytrace_tpu.utils.stats import TimingStats, check_ans, stability_ok
 
     # pallas (in-kernel loop nest) is the fastest backend on TPU for both
     # workloads; the lax backend is the portable fallback for CPU runs.
     method = "pallas" if jax.default_backend() == "tpu" else "lax"
+
+    provenance = {
+        "git_commit": _git_commit(),
+        "jax_version": jax.__version__,
+        "kernel_structure": pk.KERNEL_STRUCTURE,
+        "merged_unroll": pk.MERGED_UNROLL,
+        "fl_unroll": pk.FL_UNROLL,
+        "chunk_policy": "auto",
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
 
     problem, image0, i_ang0 = load_input(REFERENCE_INPUT)
     n_rays = 399000
@@ -111,17 +253,18 @@ def main():
     # CPU fallback: 3 reps and the headline only (the lax CPU path runs
     # ~20 s/call; the full multi-workload protocol is a TPU measurement)
     n_reps = 9 if tpu_ok else 3
-    times = _time_perturbed(create_image, REFERENCE_INPUT, method, n_reps,
-                            salt=17)
+    times, ase_calls = _timed_calls(REFERENCE_INPUT, method, n_reps, salt=17)
     stats = TimingStats.of(times)
     best = min(times)
     median = sorted(times)[len(times) // 2]
     rays_per_sec = n_rays / best
+    hbm_ase = _hbm(jax)
+    probes = _link_probes(jax, rb_shape=(1500, 52) if tpu_ok else None)
 
-    # serving-mode throughput: create_image_stream keeps two calls in
-    # flight, overlapping call k+1's table upload with call k's compute and
-    # call k's readback with call k+1's compute. Measured separately from
-    # the headline (the reference protocol times synchronous calls). Every
+    # serving-mode throughput: create_image_stream keeps calls in flight,
+    # overlapping call k+1's table upload with call k's compute and call
+    # k's readback with call k+1's compute. Measured separately from the
+    # headline (the reference protocol times synchronous calls). Every
     # streamed call gets distinct gain tables so no result cache can serve
     # a measurement (and matching the production "tables change every
     # iteration" semantics, Readme.txt:43).
@@ -156,25 +299,21 @@ def main():
 
     # auxiliary: the seeded workload (7.8M rays). Full reference protocol
     # like ASE: 9 timed calls, Avg/StdDev + the stability gates
-    # (src/CreateImage.cpp:166-183).
+    # (src/CreateImage.cpp:166-183). split_upload: the per-call stage split
+    # separates the host->device upload from compute+readback, so a red
+    # stability gate is attributable (VERDICT r03 item 2).
     seed_stats = {}
     if os.path.exists(SEED_INPUT) and tpu_ok:
         sp, simg0, sang0 = load_input(SEED_INPUT)
         simg, sang = create_image(sp, method)  # warmup + golden source
-        st = _time_perturbed(create_image, SEED_INPUT, method, 9, salt=23)
-        sstats = TimingStats.of(st)
-        savg = min(st)
-        seed_stats = {
-            "seed_small_rays_per_sec": round(7803000 / savg, 1),
-            "seed_small_vs_baseline": round(
-                (7803000 / savg) / SEED_BASELINE_RAYS_PER_SEC, 3),
-            "seed_small_best_seconds_per_call": round(float(savg), 4),
-            "seed_small_avg_seconds_per_call": round(float(sstats.avg), 4),
-            "seed_small_std_seconds_per_call": round(float(sstats.std), 4),
-            "seed_small_stability_ok": bool(stability_ok(sstats)),
-            "seed_small_golden_check": bool(
-                check_ans(simg0, sang0, simg, sang, verbose=False)),
-        }
+        st, seed_calls = _timed_calls(SEED_INPUT, method, 9, salt=23,
+                                      split_upload=True)
+        seed_stats = _row_stats("seed_small_", st, seed_calls, 7803000,
+                                stability_ok, TimingStats)
+        seed_stats["seed_small_vs_baseline"] = round(
+            (7803000 / min(st)) / SEED_BASELINE_RAYS_PER_SEC, 3)
+        seed_stats["seed_small_golden_check"] = bool(
+            check_ans(simg0, sang0, simg, sang, verbose=False))
         # serving-mode throughput, seeded (same protocol as ase_stream_*)
         try:
             from raytrace_tpu import create_image_stream
@@ -189,6 +328,8 @@ def main():
             })
         except Exception as e:
             seed_stats["seed_stream_error"] = repr(e)
+        if (h := _hbm(jax)) is not None:
+            seed_stats["hbm_after_seed"] = h
 
     # ASE_medium proxy: -scale=16 (6.384M rays). Golden at scale!=1 is a
     # cross-backend check: lax result is the golden for the pallas image.
@@ -201,24 +342,20 @@ def main():
         b16 = p16.euv_beam
         n16 = b16.nx * b16.ny * b16.na * b16.nb
         img16, ang16 = create_image(p16, method)  # warmup + sanity source
-        t16 = _time_perturbed(create_image, REFERENCE_INPUT, method, 9,
-                              salt=31, scale=16.0)
-        s16 = TimingStats.of(t16)
+        t16, s16_calls = _timed_calls(REFERENCE_INPUT, method, 9, salt=31,
+                                      scale=16.0)
         sanity = True
         if method != "lax":
             pl16, _, _ = load_input(REFERENCE_INPUT)
             scale_problem(pl16, 16.0)
             limg, lang = create_image(pl16, "lax")
             sanity = check_ans(limg, lang, img16, ang16, verbose=False)
-        scale16_stats = {
-            "scale16_rays_per_sec": round(n16 / min(t16), 1),
-            "scale16_n_rays": int(n16),
-            "scale16_best_seconds_per_call": round(float(min(t16)), 4),
-            "scale16_avg_seconds_per_call": round(float(s16.avg), 4),
-            "scale16_std_seconds_per_call": round(float(s16.std), 4),
-            "scale16_stability_ok": bool(stability_ok(s16)),
-            "scale16_cross_backend_check": bool(sanity),
-        }
+        scale16_stats = _row_stats("scale16_", t16, s16_calls, n16,
+                                   stability_ok, TimingStats)
+        scale16_stats["scale16_n_rays"] = int(n16)
+        scale16_stats["scale16_cross_backend_check"] = bool(sanity)
+        if (h := _hbm(jax)) is not None:
+            scale16_stats["hbm_after_scale16"] = h
         # serving-mode throughput at ASE_medium scale (same distinct-tables
         # protocol as the other stream rows). Natural order: the
         # cost-feedback reorder won here on the pre-unroll kernel (0.825
@@ -246,6 +383,58 @@ def main():
     except Exception as e:  # never let the proxy kill the headline number
         scale16_stats = {"scale16_error": repr(e)}
 
+    # seed_medium proxy: seed_small at -scale=4 (~30.7M rays,
+    # Readme.txt:47-49). Same cross-backend golden gate as scale16 and the
+    # same stability booleans; 5 timed calls (each ~3 s) keep the row
+    # bounded. The CPU-mesh sharded coverage of this scale lives in
+    # tests/test_multichip.py::test_seed_scaled_sharded_matches_single.
+    seed4_stats = {}
+    try:
+        if not (os.path.exists(SEED_INPUT) and tpu_ok):
+            raise _SkipAux()
+        p4, _, _ = load_input(SEED_INPUT)
+        scale_problem(p4, 4.0)
+        sb4 = p4.seed_beam
+        n4 = sb4.nx * sb4.ny * sb4.na * sb4.nb
+        img4, ang4 = create_image(p4, method)  # warmup + sanity source
+        t4, s4_calls = _timed_calls(SEED_INPUT, method, 5, salt=41,
+                                    scale=4.0, split_upload=True)
+        sanity4 = True
+        if method != "lax":
+            pl4, _, _ = load_input(SEED_INPUT)
+            scale_problem(pl4, 4.0)
+            limg4, lang4 = create_image(pl4, "lax")
+            sanity4 = check_ans(limg4, lang4, img4, ang4, verbose=False)
+        seed4_stats = _row_stats("seed_scale4_", t4, s4_calls, n4,
+                                 stability_ok, TimingStats)
+        seed4_stats["seed_scale4_n_rays"] = int(n4)
+        seed4_stats["seed_scale4_cross_backend_check"] = bool(sanity4)
+    except Exception as e:
+        seed4_stats = {"seed_scale4_error": repr(e)}
+
+    # scale-64 envelope probe (25.5M rays): two timed calls + the HBM peak.
+    # The chunked scan's footprint is set by the chunk, not the ray count,
+    # so peak HBM here vs after scale16 quantifies the scale-flat claim
+    # (Readme.txt:46-49) on real hardware.
+    scale64_stats = {}
+    try:
+        if not tpu_ok:
+            raise _SkipAux()
+        t64, s64_calls = _timed_calls(REFERENCE_INPUT, method, 2, salt=53,
+                                      scale=64.0)
+        p64, _, _ = load_input(REFERENCE_INPUT)
+        scale_problem(p64, 64.0)
+        b64 = p64.euv_beam
+        scale64_stats = {
+            "scale64_n_rays": int(b64.nx * b64.ny * b64.na * b64.nb),
+            "scale64_best_seconds_per_call": round(min(t64), 4),
+            "scale64_calls": s64_calls,
+        }
+        if (h := _hbm(jax)) is not None:
+            scale64_stats["hbm_after_scale64"] = h
+    except Exception as e:
+        scale64_stats = {"scale64_error": repr(e)}
+
     result = {
         "metric": "ase_small_rays_per_sec",
         "value": round(rays_per_sec, 1),
@@ -260,9 +449,15 @@ def main():
         "method": method,
         "platform": jax.default_backend() + (
             "" if tpu_ok else " (tpu tunnel unreachable, cpu fallback)"),
+        "provenance": provenance,
+        "ase_calls": ase_calls,
+        **({"hbm_after_ase": hbm_ase} if hbm_ase is not None else {}),
+        **probes,
         **stream_stats,
         **seed_stats,
         **scale16_stats,
+        **seed4_stats,
+        **scale64_stats,
     }
     print(json.dumps(result))
 

@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from raytrace_tpu.models import ray_tracer
@@ -132,6 +132,106 @@ def make_sharded_pipeline(cfg: dict, trace_fn, mesh: Mesh):
     return jax.jit(sharded)
 
 
+def make_sharded_split_pipeline(cfg: dict, trace_fn, mesh: Mesh):
+    """Two-dispatch sharded pipeline overlapping the gv upload with the
+    trace -- the multi-chip analogue of ray_tracer._make_split_pipeline.
+
+    The reference's multi-GPU path drives the identical fastest
+    configuration per device (src/RayTraceImage.cpp:396-405); the
+    single-chip pipeline ships the gv lineshape tables over the link while
+    the trace kernel runs (measured ~12-25 ms on ASE-class calls,
+    ROADMAP.md), and mesh calls were one dispatch and paid that cost.
+    Here the call becomes: dispatch the sharded TRACE (pack + trace
+    tables, replicated), ship gv during it (device_put to a replicated
+    NamedSharding -- the transfer rides the link while every shard
+    traces), then dispatch the sharded AMPLIFY+BIN on the resident
+    per-shard trace results. The stacked trace results stay sharded over
+    the ray axis between the two dispatches (spec P(None, RAY_AXIS):
+    leading dim = chunk scan step, dim 1 = rays); nothing crosses ICI
+    until the end-of-call psum, exactly like the single-dispatch path.
+    Gated by prepare_sharded to ASE-class trace stacks, same policy as
+    single-chip."""
+    D = mesh.size
+    chunk = cfg["chunk"]
+    per_dev = chunk // D
+    n_chunks = cfg["n_chunks"]
+    K = cfg["K"]
+    map_it = ray_tracer.make_stride_mapper(cfg)
+
+    def _dev_it(ci, d):
+        # device stride nested under the rank stride (same composition as
+        # make_sharded_pipeline's worker)
+        return (ci.astype(jnp.int64) * chunk + d
+                + jnp.arange(per_dev, dtype=jnp.int64) * D)
+
+    def worker_trace(pack, trace_tables):
+        d = jax.lax.axis_index(RAY_AXIS).astype(jnp.int64)
+        ray_grids, _beam, _dseed = ray_tracer.unpack_bundle(cfg, pack)
+
+        def body(_, ci):
+            ijkm, _valid = map_it(_dev_it(ci, d))
+            res = ray_tracer.chunk_trace(cfg, trace_fn, ijkm, ray_grids,
+                                         trace_tables)
+            return (), res
+
+        _, res_all = jax.lax.scan(body, (),
+                                  jnp.arange(n_chunks, dtype=jnp.int32))
+        return res_all
+
+    def worker_post(pack, gv_tables, res_all, dseed):
+        d = jax.lax.axis_index(RAY_AXIS).astype(jnp.int64)
+        ray_grids, beam, dseed_u = ray_tracer.unpack_bundle(cfg, pack)
+        if dseed_u is None:
+            dseed_u = dseed
+        if cfg.get("fused_amplify"):
+            from raytrace_tpu.ops import pallas_amplify
+            gv_tables = pallas_amplify.pack_gv(gv_tables)
+        image0 = jnp.zeros((cfg["img_cells"], K), dtype=jnp.float64)
+        iang0 = jnp.zeros((cfg["na_nb"],), dtype=jnp.float64)
+
+        def body(carry, xs):
+            image_acc, iang_acc, fail3 = carry
+            ci, res = xs
+            ijkm, valid = map_it(_dev_it(ci, d))
+            img_p, ang_p, code = ray_tracer.chunk_post(
+                cfg, ijkm, valid, ray_grids, res, gv_tables, dseed_u, beam)
+            bits3 = jnp.stack([jnp.any(code == -1), jnp.any(code == -2),
+                               jnp.any(code == -3)]).astype(jnp.int32)
+            return (image_acc + img_p, iang_acc + ang_p, fail3 + bits3), code
+
+        (image, i_ang, fail3), codes = jax.lax.scan(
+            body, (image0, iang0, jnp.zeros((3,), jnp.int32)),
+            (jnp.arange(n_chunks, dtype=jnp.int32), res_all))
+        image = jax.lax.psum(image, RAY_AXIS)
+        i_ang = jax.lax.psum(i_ang, RAY_AXIS)
+        fail3 = jax.lax.psum(fail3, RAY_AXIS)
+        return image, i_ang, fail3, codes
+
+    sh = P(None, RAY_AXIS)
+    # every trace-result leaf is [n_chunks, B_dev, ...]: rays on dim 1
+    run_trace = jax.jit(shard_map(
+        worker_trace, mesh=mesh, in_specs=(P(), P()),
+        out_specs=stepper.TraceResult(gvl=sh, evl=sh, ivl=sh, exit_x=sh,
+                                      exit_y=sh, exit_a=sh, exit_b=sh,
+                                      escaped=sh, perp=sh),
+        check_vma=False))
+    run_post = jax.jit(shard_map(
+        worker_post, mesh=mesh,
+        in_specs=(P(), P(), stepper.TraceResult(
+            gvl=sh, evl=sh, ivl=sh, exit_x=sh, exit_y=sh, exit_a=sh,
+            exit_b=sh, escaped=sh, perp=sh), P()),
+        out_specs=(P(), P(), P(), sh),
+        check_vma=False))
+    gv_sharding = NamedSharding(mesh, P())
+
+    def run_call(pack, trace_tables, gv_tables, dseed):
+        res_all = run_trace(pack, trace_tables)   # async dispatch
+        gv_dev = jax.device_put(gv_tables, gv_sharding)  # rides the link
+        return run_post(pack, gv_dev, res_all, dseed)
+
+    return run_call
+
+
 class PreparedShardedCall(NamedTuple):
     """The prepare/execute split of a sharded call (the multi-chip analogue
     of ray_tracer.PreparedCall): ``pipeline(*operands)`` dispatches the
@@ -215,13 +315,25 @@ def prepare_sharded(problem: CreateImageProblem, mesh: Mesh,
     reorder = (bool(reorder) and backend == "pallas" and n_chunks > 0
                and Nt // skip < 2 ** 31)
     reorder_row = ray_tracer.reorder_row_geom(problem) if reorder else None
+    # two-dispatch gv-upload overlap (make_sharded_split_pipeline): same
+    # gate as the single-chip path -- ASE-class stacked trace results only
+    # (the seeded stack would hold ~0.7 GB between the dispatches)
+    nseg_s = max(problem.N - 1, 1)
+    trace_bytes = n_chunks * chunk * (36 * nseg_s + 18)
+    # single-process meshes only: the mid-call device_put of the gv stack
+    # to a replicated sharding is a single-controller idiom; multi-process
+    # runs keep the one-dispatch pipeline (gv rides as a jit argument)
+    split = ((not reorder) and n_chunks > 0
+             and trace_bytes <= ray_tracer._SPLIT_MAX_BYTES
+             and jax.process_count() == 1
+             and os.environ.get("RAYTRACE_NO_SPLIT") != "1")
     cfg_key = ("sharded", id(mesh), backend, problem.N, float(beam.dz), K,
                method, use_emis, dims, float(scale),
                str(jnp.dtype(spectrum_dtype)), float(c), chunk, n_chunks,
                bin_deposit,
                problem.N_start, problem.N_parallel, fast_meta, pallas_meta,
                pack_layout, beam_scalars, seed_f0, fused_amplify, reorder,
-               reorder_row)
+               reorder_row, split)
     cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                use_emis=use_emis, dims=dims, scale=float(scale),
                spectrum_dtype=spectrum_dtype, c=float(c), dense=False,
@@ -232,7 +344,7 @@ def prepare_sharded(problem: CreateImageProblem, mesh: Mesh,
                pallas_meta=pallas_meta,
                pack_layout=pack_layout, beam_scalars=beam_scalars,
                seed_f0=seed_f0, fused_amplify=fused_amplify,
-               reorder=reorder, reorder_row=reorder_row)
+               reorder=reorder, reorder_row=reorder_row, split=split)
     if cfg_key not in _SHARDED_CACHE:
         if backend == "pallas":
             trace_fn = ray_tracer.make_pallas_trace_fn(cfg, counts=reorder)
@@ -249,7 +361,9 @@ def prepare_sharded(problem: CreateImageProblem, mesh: Mesh,
             def trace_fn(rays, tables):
                 return stepper.trace_batch(rays, cfg["N"], cfg["dz"], tables,
                                            method, c=c, use_emis=use_emis)
-        _SHARDED_CACHE[cfg_key] = make_sharded_pipeline(cfg, trace_fn, mesh)
+        maker = (make_sharded_split_pipeline if split
+                 else make_sharded_pipeline)
+        _SHARDED_CACHE[cfg_key] = maker(cfg, trace_fn, mesh)
     return PreparedShardedCall(
         pipeline=_SHARDED_CACHE[cfg_key],
         operands=(pack, trace_tables, gv_tables, seed_dev),

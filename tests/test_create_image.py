@@ -766,3 +766,33 @@ def test_backward_seeded_direct_cfg():
         cfg, trace_fn, ijkm, valid, ray_grids, prepare_gain(p0.gain),
         tables.gv[1:], None, prepare_beam(beam))
     assert np.linalg.norm(np.asarray(img) - np.asarray(img0)) > 0
+
+
+def test_chunked_scan_memory_flat():
+    """The scale envelope's memory story (Readme.txt:46-49 problem sizing):
+    the whole-call pipeline is a lax.scan over fixed-size ray chunks, so
+    compiled TEMP memory is set by the chunk, not the ray count. Quadruple
+    the rays (na*nb x4) at a fixed chunk and the compiled temp footprint
+    must stay ~flat -- the compile-time companion of bench.py's measured
+    hbm_after_scale* telemetry on real hardware."""
+    import os
+
+    from raytrace_tpu.models.ray_tracer import prepare_pipeline
+
+    os.environ["RAYTRACE_NO_SPLIT"] = "1"  # single-jit: one program to audit
+    try:
+        temps = {}
+        rays = {}
+        for tag, (na, nb) in {"1x": (8, 8), "4x": (16, 16)}.items():
+            p = synthetic_problem(nx=8, ny=5, na=na, nb=nb, nv=6)
+            prep = prepare_pipeline(p, "lax", chunk_size=2048)
+            assert not prep.cfg["split"]
+            d = prep.cfg["dims"]
+            rays[tag] = d[0] * d[1] * d[2] * d[3]
+            ma = prep.pipeline.lower(*prep.operands).compile().memory_analysis()
+            temps[tag] = int(ma.temp_size_in_bytes)
+    finally:
+        del os.environ["RAYTRACE_NO_SPLIT"]
+    assert rays["4x"] >= 4 * rays["1x"]
+    # flat up to small per-chunk bookkeeping, nowhere near the 4x ray growth
+    assert temps["4x"] <= 1.6 * temps["1x"], temps

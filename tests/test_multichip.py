@@ -225,6 +225,59 @@ def test_seed_small_sharded_reduced_scale():
     assert check_ans(img1, ang1, img8, ang8)
 
 
+def test_sharded_split_upload_matches_one_dispatch(monkeypatch):
+    """The two-dispatch sharded pipeline (gv upload overlapping the trace,
+    make_sharded_split_pipeline) must engage on ASE-class calls and
+    produce bitwise-identical images to the one-dispatch pipeline -- the
+    split moves the gv transfer, not the math."""
+    from raytrace_tpu.parallel.sharding import prepare_sharded
+
+    mesh = make_mesh(min(8, len(jax.devices())))
+    p = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5, rng=77)
+    prep = prepare_sharded(p, mesh, "lax", chunk_size=2048)
+    assert prep.cfg["split"], "ASE-class sharded call should take the split"
+    img_s, ang_s = create_image_sharded(
+        synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5, rng=77), mesh,
+        "lax", chunk_size=2048)
+    monkeypatch.setenv("RAYTRACE_NO_SPLIT", "1")
+    p1 = synthetic_problem(nx=6, ny=4, na=4, nb=3, nv=5, rng=77)
+    prep1 = prepare_sharded(p1, mesh, "lax", chunk_size=2048)
+    assert not prep1.cfg["split"]
+    img_1, ang_1 = create_image_sharded(p1, mesh, "lax", chunk_size=2048)
+    assert np.array_equal(img_s, img_1)
+    assert np.array_equal(ang_s, ang_1)
+
+
+@pytest.mark.skipif(not (run_golden and os.path.exists(SEED)),
+                    reason="set RAYTRACE_GOLDEN_TESTS=1")
+def test_seed_scaled_sharded_matches_single():
+    """The seed_medium proxy (seed_small at -scale=4, ~30.7M-ray geometry;
+    Readme.txt:47-49, src/CreateImageHelpers.cpp:104-150) through the
+    sharded pipeline on the CPU mesh. The full ray count is a TPU
+    measurement (bench.py's seed_scale4_* row); here the stride contract
+    (N_parallel) computes every 997th ray of the SCALED geometry -- the
+    production sharding mechanism itself -- so the scaled grids, seed
+    tables and deposits all run at that scale while the CPU does ~31k
+    rays. Gate: the single-device image is the golden for the sharded one
+    under the reference's one-sided 5e-6 norm check."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from raytrace_tpu.io.loader import scale_problem
+
+    mesh = make_mesh(8)
+    p1, _, _ = load_input(SEED)
+    scale_problem(p1, 4.0)
+    p1.N_start, p1.N_parallel = 5, 997
+    img1, ang1 = create_image(p1, "lax")
+    p8, _, _ = load_input(SEED)
+    scale_problem(p8, 4.0)
+    p8.N_start, p8.N_parallel = 5, 997
+    img8, ang8 = create_image_sharded(p8, mesh, "lax")
+    assert check_ans(img1, ang1, img8, ang8)
+    rel = np.linalg.norm(img1 - img8) / max(np.linalg.norm(img1), 1e-300)
+    assert rel < 1e-4
+
+
 def test_dryrun_multichip_entry():
     import sys
     sys.path.insert(0, os.path.dirname(os.path.dirname(

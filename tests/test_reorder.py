@@ -178,6 +178,47 @@ def test_stream_reorder_seeded_matches_sync():
                 <= _REASSOC_TOL * max(np.linalg.norm(wa), 1e-300))
 
 
+def test_stream_reorder_row_free_fallback_e2e(monkeypatch):
+    """End-to-end drive of the ROW-FREE reorder fallback: when a problem
+    has no readable fetch-row geometry (reorder_row_geom -> None), the
+    stream must run the window-local cost sort (_window_perm) instead of
+    the (row, cost) key -- and still reproduce the synchronous images.
+    No shipped geometry is row-free (every valid gain grid has Ny >= 2),
+    so the trigger is simulated by patching reorder_row_geom; everything
+    downstream of the trigger -- pipeline build, permuted trace, counts
+    round trip, deposits -- is the real path."""
+    monkeypatch.setattr(ray_tracer, "reorder_row_geom", lambda p: None)
+    kw = dict(nx=8, ny=5, na=5, nb=4, nv=6)
+    prep = prepare_pipeline(synthetic_problem(**kw), "pallas",
+                            chunk_size=2048, reorder=True)
+    assert prep.cfg["reorder"] and prep.cfg["reorder_row"] is None
+    # the permuted `it` output follows the window-local sort exactly
+    cfg = prep.cfg
+    n_chunks, chunk = cfg["n_chunks"], cfg["chunk"]
+    rng = np.random.default_rng(13)
+    pc = rng.integers(0, 500, size=(n_chunks, chunk)).astype(np.int32)
+    outs = prep.pipeline(*prep.operands, jnp.asarray(pc))
+    it_all = np.asarray(outs[5])
+    from raytrace_tpu.ops import pallas_kernel as pk
+    w = min(ray_tracer._REORDER_WINDOW_TILES * pk.TILE, chunk)
+    for ci in range(n_chunks):
+        want = np.asarray(_window_perm(jnp.asarray(pc[ci]), w))
+        assert np.array_equal(it_all[ci] - ci * chunk, want)
+    # full serving drive: reordered results == synchronous results up to
+    # deposit reassociation (the documented non-bitwise trade)
+    units = _distinct_units(3, 21, **kw)
+    want_im = [create_image(p, "pallas", chunk_size=2048)
+               for p in _distinct_units(3, 21, **kw)]
+    got = list(create_image_stream(units, "pallas", chunk_size=2048,
+                                   reorder=True))
+    assert np.array_equal(got[0][0], want_im[0][0])  # first call: natural
+    for (gi, ga), (wi, wa) in zip(got, want_im):
+        assert (np.linalg.norm(gi - wi)
+                <= _REASSOC_TOL * max(np.linalg.norm(wi), 1e-300))
+        assert (np.linalg.norm(ga - wa)
+                <= _REASSOC_TOL * max(np.linalg.norm(wa), 1e-300))
+
+
 def test_reorder_falls_back_off_pallas():
     """Off the pallas envelope there is no counts signal: the flag must be
     silently off (same policy as the backend envelope fallbacks), and the
