@@ -2,7 +2,9 @@
 
 This is the TPU-native analogue of the reference's CUDA backend
 (src/RayTraceImageCuda.cu): where CUDA assigns one thread per ray, this
-kernel assigns one (8, 128) vector tile = 1024 rays per grid step and runs
+kernel assigns one (TILE_ROWS, 128) vector tile of rays per grid step
+(default (16,128) = 2048 rays = two (8,128) vregs, i.e. two independent
+dependency chains per vector op -- see the TILE_ROWS note) and runs
 the full three-level propagation loop nest *per tile*, so each tile's trip
 count is set by its own slowest ray rather than the global worst case
 (natural ray order groups rays by entry cell, so tiles are coherent).
@@ -58,7 +60,19 @@ from raytrace_tpu.structures import RayGain
 
 __all__ = ["pack_gain_tables", "trace_tiles", "TILE_ROWS", "TILE_LANES", "TILE"]
 
-TILE_ROWS = 8
+#: rows per ray tile. 16 rows = a (16,128) tile = TWO (8,128) vregs per
+#: vector op, i.e. two INDEPENDENT dependency chains interleaved through
+#: the micro-step loop. The roofline (tools/roofline.py) measured the
+#: micro-step as latency-bound -- a dependent (8,128) f32 op costs
+#: ~13.4 ns on this chip while 8 independent chains stream at ~0.49 ns/op
+#: (tools/vpu_probe.py) -- so the second chain hides latency nearly for
+#: free: the divergence cost of max-over-2048-lanes is only 47.2%->46.5%
+#: tile utilization (census), and tools/bench_tile_rows.py measured
+#: trace -15% on scale16 (0.3284->0.2802 s), -10% on seed_small
+#: (0.2358->0.2114), -14% on ASE_small (0.0475->0.0410). 32 rows = 4
+#: chains measured WORSE everywhere (register pressure), so 2 chains is
+#: the sweet spot. Override with RAYTRACE_TILE_ROWS for A/Bs.
+TILE_ROWS = int(os.environ.get("RAYTRACE_TILE_ROWS", "16"))
 TILE_LANES = 128
 TILE = TILE_ROWS * TILE_LANES
 N_SUB = 3
