@@ -218,7 +218,13 @@ def _propagate2(pos, s, dz, x2, y2_grid, cell_range, n4, abs_y, c, stats=None):
         dxi = f32((pos[0] - x2[0]) / (x2[1] - x2[0]))
         dyi = f32((y_eff - y2_grid[0]) / (y2_grid[1] - y2_grid[0]))
         n0 = _bilinear(dxi, dyi, n4[0], n4[1], n4[2], n4[3])
-        dn_dx = f32((1.0 - dxi) * (n4[1] - n4[0]) / (x2[1] - x2[0])
+        # dn/dx is the x-gradient interpolated ALONG Y: weight (1 - dyi)
+        # (RayTraceImageHelper.h:333). A (1 - dxi) transliteration slip
+        # here survived three rounds sub-tolerance on the weak-gradient
+        # synthetics and was caught by the round-4 fuzz on a refracting
+        # non-uniform case (order-unity per-ray divergence, every batched
+        # backend agreeing against the oracle).
+        dn_dx = f32((1.0 - dyi) * (n4[1] - n4[0]) / (x2[1] - x2[0])
                     + dyi * (n4[3] - n4[2]) / (x2[1] - x2[0]))
         dn_dy = f32((1.0 - dxi) * (n4[2] - n4[0]) / (y2_grid[1] - y2_grid[0])
                     + dxi * (n4[3] - n4[1]) / (y2_grid[1] - y2_grid[0]))

@@ -242,6 +242,46 @@ def run_case(ci, kw):
         if want_img is None:
             print(f"  [{ci}] {kw} -> failure-path config, skipped")
             return 0
+
+        # self-calibrating chaos gate: the fixed tol_for budget models the
+        # chaos growth on uniform grids, but warped non-uniform geometries
+        # can exceed it (measured: seeded N=7 warped nv=1 at 5.3e-2 with
+        # all five backends agreeing to ~1e-7 -- pure oracle-vs-XLA f32
+        # trajectory divergence). Rather than inflating the static budget,
+        # measure THIS case's chaos directly: perturb the entry grid by
+        # 1e-6 relative (>= the f32 entry-rounding differences between
+        # implementations) and rerun the oracle; if the oracle moves
+        # itself by s, a backend mismatch <= 4s is explained by chaos.
+        # Capped at 0.25 so order-unity bugs (wrong scale/mirror/layout)
+        # still fail, and the tight cross-backend gates below are
+        # unaffected. Computed lazily -- only cases that exceed tol_for
+        # pay the second oracle run.
+        _sens = {}
+
+        def chaos_sens():
+            if not _sens:
+                pp = synthetic_problem(rng=ci, **kw)
+                if pp.N > 5:
+                    physical_gain(pp)
+                srcb = pp.seed_beam if method == 2 else pp.euv_beam
+                srcb.x = np.asarray(srcb.x) * (1.0 + 1e-6)
+                s_img, s_ang = oracle_images(pp, method)
+                if s_img is None:
+                    _sens["v"] = (0.0, 0.0)
+                else:
+                    _sens["v"] = (
+                        np.linalg.norm(s_img - want_img)
+                        / max(np.linalg.norm(want_img), 1e-300),
+                        np.linalg.norm(s_ang - want_ang)
+                        / max(np.linalg.norm(want_ang), 1e-300))
+            return _sens["v"]
+
+        def chaos_tol(base, which):
+            t = min(max(base, 4.0 * chaos_sens()[which]), 0.25)
+            if t > base:
+                print(f"  [{ci}] chaos gate engaged "
+                      f"(oracle self-sensitivity {chaos_sens()[which]:.2e})")
+            return t
         backends = [("lax", False), ("lax-exact", False), ("pallas", False)]
         if SHARDED:
             backends += [("lax", True), ("pallas", True)]
@@ -268,12 +308,15 @@ def run_case(ci, kw):
             # redistribution-tolerant gate, see ang_close)
             n0 = np.linalg.norm(want_img)
             d = np.linalg.norm(got[tag] - want_img) / max(n0, 1e-300)
-            if not (d < tol_for(p.N, method == 2)
-                    or (n0 == 0 and np.linalg.norm(got[tag]) == 0)):
+            base = tol_for(p.N, method == 2)
+            if not (d < base
+                    or (n0 == 0 and np.linalg.norm(got[tag]) == 0)
+                    or d < chaos_tol(base, 0)):
                 print(f"  MISMATCH [{ci}] {tag} image {kw} rel={d:.2e}")
                 bad += 1
-            if not ang_close(want_ang, got_ang[tag],
-                             tol_for(p.N, method == 2)):
+            if not (ang_close(want_ang, got_ang[tag], base)
+                    or ang_close(want_ang, got_ang[tag],
+                                 chaos_tol(base, 1))):
                 d = (np.linalg.norm(got_ang[tag] - want_ang)
                      / max(np.linalg.norm(want_ang), 1e-300))
                 print(f"  MISMATCH [{ci}] {tag} I_ang {kw} rel={d:.2e}")
