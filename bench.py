@@ -40,7 +40,41 @@ Also reported:
   claims a scale-flat device footprint (Readme.txt:46-49 problem sizing),
   and the peak after scale64 vs scale16 quantifies it on real hardware
   (the compile-time flatness assertion lives in
-  tests/test_create_image.py::test_chunked_scan_memory_flat).
+  tests/test_create_image.py::test_chunked_scan_memory_flat). When the
+  platform exposes no memory_stats the key is still present with an
+  explicit ``{"unavailable": <reason>}`` record -- telemetry absence is
+  loud, never silent.
+
+ARTIFACT SCHEMA (which stages are disjoint -- needed to reconstruct
+per-call accounting from the JSON alone):
+
+* sync rows (``*_calls``): ``total_s = prep_s + dispatch_s + wait_s``
+  (+ ``upload_s`` on split_upload rows), measured at four consecutive
+  perf_counter marks, so the stages are DISJOINT wall intervals by
+  construction. ``prep_s`` = host-side table packing (numpy only).
+  Default rows: ``dispatch_s`` = async pipeline dispatch incl. the upload
+  ENQUEUE; ``wait_s`` = block-until-ready, i.e. upload + device compute +
+  image readback TOGETHER (they pipeline on the tunneled link and cannot
+  be separated from the host clock; use the adjacent ``rtt_probe_s`` /
+  ``readback_probe_s`` link probes to bound the link share).
+  split_upload rows (seeded): the operands are device_put + blocked
+  before the dispatch, so ``upload_s`` = pure host->device link,
+  ``dispatch_s`` = dispatch enqueue, ``wait_s`` = compute + readback.
+* stream rows (``*_stream_rounds``): per round, ``fill_s`` = first-call
+  completion latency (pipeline fill: nothing to overlap), ``yield_s`` =
+  inter-completion spacing of the remaining calls (steady-state
+  throughput, the stream analogue of per-call seconds);
+  ``round_wall_s = fill_s + sum(yield_s)``. The ``*_stream_steady_*``
+  stats and stability gates are over the pooled ``yield_s`` samples;
+  ``*_stream_best/median_seconds_per_call`` keep the historical
+  round_wall/n_units semantics for cross-round comparability.
+* stability gates: stddev <= 10% of avg AND max <= avg+15%
+  (CreateImage.cpp:174-181), applied to sync per-call totals and to
+  stream steady-state yields alike.
+
+The FULL artifact is also written to ``bench_artifact_full.json`` next to
+this file, and the LAST stdout line is a compact driver-parsable summary
+(headline keys only) -- a tail-capturing driver always gets valid JSON.
 """
 
 import json
@@ -75,16 +109,37 @@ def _git_commit():
 
 
 def _hbm(jax):
-    """Device memory telemetry (None when the platform has no stats --
-    e.g. the CPU backend)."""
+    """Device memory telemetry. ALWAYS returns a dict: either the stats or
+    an explicit ``{"unavailable": <reason>}`` -- silent absence was the
+    failure mode VERDICT r04 flagged (the r04 artifacts carried no hbm_*
+    keys at all because this returned None on the tunneled runtime)."""
     try:
-        ms = jax.local_devices()[0].memory_stats()
+        dev = jax.local_devices()[0]
+        ms = dev.memory_stats()
         if not ms:
-            return None
-        return {"bytes_in_use": int(ms.get("bytes_in_use", -1)),
-                "peak_bytes_in_use": int(ms.get("peak_bytes_in_use", -1))}
+            reason = (f"{dev.platform} runtime returned "
+                      f"{'None' if ms is None else 'empty'} memory_stats()")
+        else:
+            out = {}
+            for k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit"):
+                if k in ms:
+                    out[k] = int(ms[k])
+            if out:
+                return out
+            reason = ("memory_stats() present but carries none of "
+                      "bytes_in_use/peak_bytes_in_use/bytes_limit "
+                      f"(keys: {sorted(ms)[:8]})")
+    except Exception as e:
+        reason = f"memory_stats() raised {type(e).__name__}: {e}"
+    # fallback: account the live device arrays this process holds -- not a
+    # runtime peak, but it still bounds steady-state residency
+    try:
+        live = sum(int(a.nbytes) for a in jax.live_arrays()
+                   if getattr(a, "nbytes", None) is not None)
+        return {"unavailable": reason,
+                "live_arrays_bytes_fallback": live}
     except Exception:
-        return None
+        return {"unavailable": reason}
 
 
 def _timed_calls(path, method, n, salt, scale=None, split_upload=False):
@@ -195,11 +250,38 @@ def _link_probes(jax, rb_shape=None):
     return out
 
 
-def _drain(it):
-    """Consume a stream executor's output (timing rows only need the
-    wall time; correctness is gated elsewhere)."""
-    for _ in it:
-        pass
+def _stream_row(prefix, path, n_units, rounds, make_stream, n_rays,
+                salt0, scale, jax, TimingStats, stability_ok):
+    """A serving-mode row under the FULL measurement protocol (VERDICT r04
+    item 2): per-round fill + per-yield walls, steady-state Avg/StdDev +
+    the reference stability gates over the pooled yields, and an adjacent
+    link probe so a degraded round is attributable from the artifact."""
+    from raytrace_tpu.testing import time_stream_detailed
+
+    per_call, detail = time_stream_detailed(path, n_units, rounds,
+                                            make_stream, salt0=salt0,
+                                            scale=scale)
+    yields = [y for d in detail for y in d["yield_s"]]
+    row = {
+        f"{prefix}rays_per_sec": round(n_rays / min(per_call), 1),
+        f"{prefix}best_seconds_per_call": round(min(per_call), 4),
+        f"{prefix}median_seconds_per_call": round(
+            sorted(per_call)[len(per_call) // 2], 4),
+        f"{prefix}rounds": detail,
+    }
+    if yields:
+        ys = TimingStats.of(yields)
+        row.update({
+            f"{prefix}steady_best_s": round(min(yields), 4),
+            f"{prefix}steady_median_s": round(
+                sorted(yields)[len(yields) // 2], 4),
+            f"{prefix}steady_avg_s": round(ys.avg, 4),
+            f"{prefix}steady_std_s": round(ys.std, 4),
+            f"{prefix}steady_stability_ok": bool(stability_ok(ys)),
+            f"{prefix}steady_rays_per_sec": round(n_rays / min(yields), 1),
+        })
+    row.update({f"{prefix}{k}": v for k, v in _link_probes(jax).items()})
+    return row
 
 
 def main():
@@ -273,8 +355,7 @@ def main():
         if not tpu_ok:
             raise _SkipAux()
         from raytrace_tpu import create_image_stream
-        from raytrace_tpu.testing import (perturbed_problems,
-                                          time_stream_rounds)
+        from raytrace_tpu.testing import perturbed_problems
 
         for _ in create_image_stream(
                 perturbed_problems(REFERENCE_INPUT, 2, salt=99), method):
@@ -284,16 +365,10 @@ def main():
         # 4 in flight: 4 <= 3 every round, best 0.067 vs 0.069; seeded
         # is compute-bound and indifferent, so only ASE goes deeper
         # than the default double buffering)
-        per_call = time_stream_rounds(
-            REFERENCE_INPUT, 6, 3,
-            lambda probs: _drain(create_image_stream(probs, method,
-                                                     depth=4)))
-        stream_stats = {
-            "ase_stream_rays_per_sec": round(n_rays / min(per_call), 1),
-            "ase_stream_best_seconds_per_call": round(min(per_call), 4),
-            "ase_stream_median_seconds_per_call": round(
-                sorted(per_call)[len(per_call) // 2], 4),
-        }
+        stream_stats = _stream_row(
+            "ase_stream_", REFERENCE_INPUT, 6, 3,
+            lambda probs: create_image_stream(probs, method, depth=4),
+            n_rays, 0, None, jax, TimingStats, stability_ok)
     except Exception as e:  # never let the extra metric kill the headline
         stream_stats = {"ase_stream_error": repr(e)}
 
@@ -317,19 +392,14 @@ def main():
         # serving-mode throughput, seeded (same protocol as ase_stream_*)
         try:
             from raytrace_tpu import create_image_stream
-            from raytrace_tpu.testing import time_stream_rounds
 
-            per_call = time_stream_rounds(
-                SEED_INPUT, 3, 2,
-                lambda probs: _drain(create_image_stream(probs, method)))
-            seed_stats.update({
-                "seed_stream_rays_per_sec": round(7803000 / min(per_call), 1),
-                "seed_stream_best_seconds_per_call": round(min(per_call), 4),
-            })
+            seed_stats.update(_stream_row(
+                "seed_stream_", SEED_INPUT, 3, 2,
+                lambda probs: create_image_stream(probs, method),
+                7803000, 0, None, jax, TimingStats, stability_ok))
         except Exception as e:
             seed_stats["seed_stream_error"] = repr(e)
-        if (h := _hbm(jax)) is not None:
-            seed_stats["hbm_after_seed"] = h
+        seed_stats["hbm_after_seed"] = _hbm(jax)
 
     # ASE_medium proxy: -scale=16 (6.384M rays). Golden at scale!=1 is a
     # cross-backend check: lax result is the golden for the pallas image.
@@ -354,8 +424,7 @@ def main():
                                    stability_ok, TimingStats)
         scale16_stats["scale16_n_rays"] = int(n16)
         scale16_stats["scale16_cross_backend_check"] = bool(sanity)
-        if (h := _hbm(jax)) is not None:
-            scale16_stats["hbm_after_scale16"] = h
+        scale16_stats["hbm_after_scale16"] = _hbm(jax)
         # serving-mode throughput at ASE_medium scale (same distinct-tables
         # protocol as the other stream rows). Natural order: the
         # cost-feedback reorder won here on the pre-unroll kernel (0.825
@@ -367,17 +436,11 @@ def main():
         # (ROADMAP.md reorder section).
         try:
             from raytrace_tpu import create_image_stream
-            from raytrace_tpu.testing import time_stream_rounds
 
-            per_call = time_stream_rounds(
-                REFERENCE_INPUT, 4, 2,
-                lambda probs: _drain(create_image_stream(probs, method)),
-                scale=16.0)
-            scale16_stats.update({
-                "scale16_stream_rays_per_sec": round(n16 / min(per_call), 1),
-                "scale16_stream_best_seconds_per_call": round(
-                    min(per_call), 4),
-            })
+            scale16_stats.update(_stream_row(
+                "scale16_stream_", REFERENCE_INPUT, 4, 2,
+                lambda probs: create_image_stream(probs, method),
+                n16, 0, 16.0, jax, TimingStats, stability_ok))
         except Exception as e:
             scale16_stats["scale16_stream_error"] = repr(e)
     except Exception as e:  # never let the proxy kill the headline number
@@ -430,8 +493,7 @@ def main():
             "scale64_best_seconds_per_call": round(min(t64), 4),
             "scale64_calls": s64_calls,
         }
-        if (h := _hbm(jax)) is not None:
-            scale64_stats["hbm_after_scale64"] = h
+        scale64_stats["hbm_after_scale64"] = _hbm(jax)
     except Exception as e:
         scale64_stats = {"scale64_error": repr(e)}
 
@@ -449,9 +511,18 @@ def main():
         "method": method,
         "platform": jax.default_backend() + (
             "" if tpu_ok else " (tpu tunnel unreachable, cpu fallback)"),
+        "schema": ("sync *_calls: disjoint wall intervals, total=prep"
+                   "+dispatch+wait (+upload on split rows); default rows "
+                   "wait=upload+compute+readback, split rows upload=pure "
+                   "link and wait=compute+readback. stream *_rounds: "
+                   "fill=first-call latency, yield_s=steady inter-"
+                   "completion spacing, round_wall=fill+sum(yield_s); "
+                   "steady stats+gates pool yield_s. Gates: std<=10%avg "
+                   "and max<=avg+15% (CreateImage.cpp:174-181). Full "
+                   "details in bench.py docstring."),
         "provenance": provenance,
         "ase_calls": ase_calls,
-        **({"hbm_after_ase": hbm_ase} if hbm_ase is not None else {}),
+        "hbm_after_ase": hbm_ase,
         **probes,
         **stream_stats,
         **seed_stats,
@@ -459,7 +530,40 @@ def main():
         **seed4_stats,
         **scale64_stats,
     }
-    print(json.dumps(result))
+    # full artifact: one JSON line on stdout (human/driver logs) AND a file
+    # on disk -- r04's artifact survived only as a truncated tail string
+    full = json.dumps(result)
+    print(full)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_artifact_full.json"), "w") as f:
+            f.write(full + "\n")
+    except Exception:
+        pass  # read-only checkout: stdout still carries everything
+    # LAST line: compact driver-parsable summary (headline keys only) so a
+    # tail-capturing driver always parses valid JSON (VERDICT r04 item 7)
+    summary = {
+        "metric": result["metric"], "value": result["value"],
+        "unit": result["unit"], "vs_baseline": result["vs_baseline"],
+        "best_seconds_per_call": result["best_seconds_per_call"],
+        "stability_ok": result["stability_ok"],
+        "golden_check": result["golden_check"],
+        "method": method, "platform": result["platform"],
+        "git_commit": provenance["git_commit"][:12],
+    }
+    for k in ("ase_stream_steady_best_s", "ase_stream_steady_stability_ok",
+              "seed_small_best_seconds_per_call", "seed_small_stability_ok",
+              "seed_small_golden_check", "seed_stream_steady_best_s",
+              "scale16_best_seconds_per_call", "scale16_stability_ok",
+              "scale16_cross_backend_check", "scale16_stream_steady_best_s",
+              "seed_scale4_best_seconds_per_call",
+              "seed_scale4_cross_backend_check",
+              "scale64_best_seconds_per_call"):
+        for src in (stream_stats, seed_stats, scale16_stats, seed4_stats,
+                    scale64_stats):
+            if k in src:
+                summary[k] = src[k]
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -73,6 +73,11 @@ __all__ = ["pack_gain_tables", "trace_tiles", "TILE_ROWS", "TILE_LANES", "TILE"]
 #: chains measured WORSE everywhere (register pressure), so 2 chains is
 #: the sweet spot. Override with RAYTRACE_TILE_ROWS for A/Bs.
 TILE_ROWS = int(os.environ.get("RAYTRACE_TILE_ROWS", "16"))
+if TILE_ROWS <= 0 or TILE_ROWS % 8 != 0:
+    raise ValueError(
+        f"RAYTRACE_TILE_ROWS={TILE_ROWS!r}: must be a positive multiple of 8 "
+        "(the (8,128) f32 vreg sublane granularity) -- other values surface "
+        "as obscure Mosaic/reshape errors deep in kernel compilation")
 TILE_LANES = 128
 TILE = TILE_ROWS * TILE_LANES
 N_SUB = 3
@@ -375,6 +380,13 @@ FL_UNROLL = 6
 #:   contraction ulps (the two programs fuse the same source expressions
 #:   differently -- the established perturbation class of this kernel,
 #:   absorbed by the 5e-6 golden gate).
+#: * "merged-thin" -- the merged loop with the while carry thinned
+#:   (VERDICT r04 item 1): service-only lane state (z, sub-length
+#:   accumulators, commit cell values, pend) lives in VMEM scratch and the
+#:   per-sub output slots flush straight into the output refs, cutting the
+#:   carry from ~49 to ~30 (TILE_ROWS,128) arrays. Identical per-lane ops
+#:   in identical order (the CPU-interpret gate checks BITWISE equality
+#:   with "merged"); the point is register pressure at wider tiles.
 KERNEL_STRUCTURE = os.environ.get("RAYTRACE_KERNEL_STRUCTURE", "merged")
 #: micro-steps per merged-loop round: the service phase runs every round,
 #: so the unroll trades service overhead against end-of-cell idle slots
@@ -390,8 +402,8 @@ MERGED_UNROLL = int(os.environ.get("RAYTRACE_MERGED_UNROLL", "6"))
 def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
                     tab_ref, gvl_ref, evl_ref, ivl_ref,
                     ex_ref, ey_ref, esx_ref, esy_ref, esz_ref, eesc_ref,
-                    nst_ref=None, *, pg_meta, N, dz0, c, fl_unroll=FL_UNROLL,
-                    structure="merged"):
+                    nst_ref=None, scr_refs=None, *, pg_meta, N, dz0, c,
+                    fl_unroll=FL_UNROLL, structure="merged"):
     """Full multi-segment trace for one (8,128) tile of rays.
 
     Loop structure (the flattened form proven in ops/fast_stepper.py): per
@@ -429,6 +441,21 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
     gbase = 16 if use_emis else 12
     nch = gbase + (4 if nonuniform else 0)
     nseg = N - 1
+
+    # "merged-thin": the carry-thinned merged loop (VERDICT r04 item 1).
+    # Service-only per-lane state (z, the sub-length accumulators, the
+    # commit cell values and the pend mask) moves from the while carry to
+    # VMEM scratch, and the per-sub output slots flush directly into the
+    # output refs (zero-initialized per segment) -- the while carry drops
+    # from ~49 to ~30 (TILE_ROWS,128) arrays, all of them live in the
+    # unrolled step phase anyway. Per-lane numerics are IDENTICAL ops in
+    # identical order; only the storage location changes, so the lockstep
+    # gates must stay bitwise-green vs "merged".
+    thin = structure == "merged-thin"
+    if thin:
+        (z_scr, gvl_scr, evl_scr, ivl_scr, cg0_scr, ci1_scr, ck2_scr,
+         pend_scr) = scr_refs[:8]
+        ce0_scr = scr_refs[8] if use_emis else None
 
     px = rx_ref[:]
     py = ry_ref[:]
@@ -809,6 +836,7 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
         px0, py0, sx0, sy0, sz0, escf0 = carry[:6]
         nstf = carry[6] if counting else None
         ii = (jnp.int32(N - 1) - i) if method == 1 else (i + jnp.int32(1))
+        iim1 = ii - jnp.int32(1)
         x0 = smeta_ref[ii, 0]
         y0 = smeta_ref[ii, 1]
         dxc = smeta_ref[ii, 2]
@@ -821,6 +849,20 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
         r3 = smeta_ref[ii, 9]
         nx_i = smeta_ref[ii, 10].astype(jnp.int32)
         ny_i = smeta_ref[ii, 11].astype(jnp.int32)
+
+        if thin:
+            # zero-init this segment's output rows + the service scratch:
+            # slots a lane never flushes (early escape) must read as zero,
+            # exactly like the zero-initialized og/oe/oi carries do
+            zrow = (px0 * f32(0.0))[None]
+            for s in range(N_SUB):
+                gvl_ref[pl.ds(iim1, 1), s] = zrow
+                evl_ref[pl.ds(iim1, 1), s] = zrow
+                ivl_ref[pl.ds(iim1, 1), s] = zrow.astype(jnp.int32)
+            for r_ in ((z_scr, gvl_scr, evl_scr, ivl_scr, cg0_scr,
+                        ci1_scr, ck2_scr, pend_scr)
+                       + ((ce0_scr,) if use_emis else ())):
+                r_[:] = px0 * f32(0.0)
 
         if nonuniform:
             # per-segment findindex coordinate rows (see seg_body)
@@ -835,30 +877,56 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
         def l0_cond(st):
             return _any(~_b(st["esc"]) & (st["iz"] < f32(N_SUB)))
 
+        def flush_refs(mask, isub, gvl, evl, ivl):
+            """Thin-mode flush: masked RMW of the per-(segment, sub) output
+            rows in place of the og/oe/oi carried slots. Same select
+            algebra as ``flush`` -- iz is monotone per lane so each slot is
+            written nonzero at most once."""
+            for s in range(N_SUB):
+                m = mask & (jnp.abs(isub - f32(s)) < f32(0.5))
+                og_ = gvl_ref[pl.ds(iim1, 1), s]
+                gvl_ref[pl.ds(iim1, 1), s] = jnp.where(m, gvl, og_[0])[None]
+                oe_ = evl_ref[pl.ds(iim1, 1), s]
+                evl_ref[pl.ds(iim1, 1), s] = jnp.where(m, evl, oe_[0])[None]
+                oi_ = ivl_ref[pl.ds(iim1, 1), s]
+                ivl_ref[pl.ds(iim1, 1), s] = jnp.where(
+                    m, ivl.astype(jnp.int32), oi_[0])[None]
+
         def l0_body(st):
             walk = _b(st["act"])
-            pend = _b(st["pend"])
+            pend = _b(pend_scr[:] if thin else st["pend"])
             esc_b = _b(st["esc"])
             p_x, p_y = st["px"], st["py"]
             s_z = st["sz"]
             zero = p_x * f32(0.0)
 
+            # service-only per-lane state: VMEM scratch in thin mode,
+            # while-carries otherwise (identical values either way)
+            sv = ({"z": z_scr[:], "gvl": gvl_scr[:], "evl": evl_scr[:],
+                   "ivl": ivl_scr[:], "cg0": cg0_scr[:], "ci1": ci1_scr[:],
+                   "ck2": ck2_scr[:],
+                   **({"ce0": ce0_scr[:]} if use_emis else {})}
+                  if thin else st)
+
             # ---- commit walks that completed since the last service ----
             fin = pend & ~walk
-            z = jnp.where(fin, st["z"] + jnp.abs(st["pz"]), st["z"])
-            gvl = jnp.where(fin, st["gvl"] + st["cg0"] * st["ds"], st["gvl"])
-            evl = (jnp.where(fin, st["evl"] + st["ce0"] * st["ds"], st["evl"])
-                   if use_emis else st["evl"])
-            ivl = jnp.where(fin, st["ci1"], st["ivl"])
+            z = jnp.where(fin, sv["z"] + jnp.abs(st["pz"]), sv["z"])
+            gvl = jnp.where(fin, sv["gvl"] + sv["cg0"] * st["ds"], sv["gvl"])
+            evl = (jnp.where(fin, sv["evl"] + sv["ce0"] * st["ds"], sv["evl"])
+                   if use_emis else sv["evl"])
+            ivl = jnp.where(fin, sv["ci1"], sv["ivl"])
 
             # ---- sub-length advance: z passed 0.995*z_stop(iz) ----------
             iz = st["iz"]
             act0 = ~esc_b & (iz < f32(N_SUB)) & ~walk
             adv = act0 & (z >= f32(0.995) * zs_of(iz))
             isub = isub_of(iz)
-            og = flush((st["og0"], st["og1"], st["og2"]), adv, isub, gvl)
-            oe = flush((st["oe0"], st["oe1"], st["oe2"]), adv, isub, evl)
-            oi = flush((st["oi0"], st["oi1"], st["oi2"]), adv, isub, ivl)
+            if thin:
+                flush_refs(adv, isub, gvl, evl, ivl)
+            else:
+                og = flush((st["og0"], st["og1"], st["og2"]), adv, isub, gvl)
+                oe = flush((st["oe0"], st["oe1"], st["oe2"]), adv, isub, evl)
+                oi = flush((st["oi0"], st["oi1"], st["oi2"]), adv, isub, ivl)
             gvl = jnp.where(adv, f32(0.0), gvl)
             evl = jnp.where(adv, f32(0.0), evl)
             ivl = jnp.where(adv, f32(0.0), ivl)
@@ -869,9 +937,12 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
 
             esc_now = act & ((p_x < r0) | (p_x > r1) | (p_y < r2)
                              | (p_y > r3) | (s_z * s_z < f32(0.01)))
-            og = flush(og, esc_now, isub, gvl)
-            oe = flush(oe, esc_now, isub, evl)
-            oi = flush(oi, esc_now, isub, ivl)
+            if thin:
+                flush_refs(esc_now, isub, gvl, evl, ivl)
+            else:
+                og = flush(og, esc_now, isub, gvl)
+                oe = flush(oe, esc_now, isub, evl)
+                oi = flush(oi, esc_now, isub, ivl)
             esc = esc_b | esc_now
             work = act & ~esc_now
 
@@ -936,15 +1007,15 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
             dyi2c = f32(1.0) - dyi
             g0c_n = ((dxi * vals[9] + dxi2c * vals[8]) * dyi2c
                      + (dxi * vals[11] + dxi2c * vals[10]) * dyi)
-            cg0 = jnp.where(work, g0c_n, st["cg0"])
+            cg0 = jnp.where(work, g0c_n, sv["cg0"])
             if use_emis:
                 E0c_n = ((dxi * vals[13] + dxi2c * vals[12]) * dyi2c
                          + (dxi * vals[15] + dxi2c * vals[14]) * dyi)
                 ce0 = jnp.where(work, jnp.maximum(E0c_n, f32(0.0)),
-                                st["ce0"])
-            ck2 = jnp.where(work, k2m1.astype(f32), st["ck2"])
+                                sv["ce0"])
+            ck2 = jnp.where(work, k2m1.astype(f32), sv["ck2"])
             ci1 = jnp.where(work, (k1m1 + k2m1 * nx_i).astype(f32),
-                            st["ci1"])
+                            sv["ci1"])
             cdz2 = jnp.where(work, zs - z, st["cdz2"])
 
             # round-invariant cell bounds (same f32 expressions as the
@@ -985,7 +1056,11 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
                 "rz": wsel(zero, st["rz"]), "path": wsel(zero, st["path"]),
                 "n0": wsel(n0i, st["n0"]), "dndx": wsel(dndxi, st["dndx"]),
                 "dndy": wsel(dndyi, st["dndy"]),
-                "box2": wsel(box2i, st["box2"]),
+                # thin: box2 == cdz2 - z2 invariantly (init box2i =
+                # cdz2 - 0, reinit box2n = cdz2 - z2_), so the step loop
+                # recomputes it from the carried cdz2/z2 -- one subtract
+                # replaces a carried array, bitwise the same value
+                **({} if thin else {"box2": wsel(box2i, st["box2"])}),
                 "n_lag": wsel(n0i, st["n_lag"]),
                 "act": _m(walk | l1a0),
                 **({"nst": st["nst"]} if counting else {}),
@@ -994,7 +1069,7 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
             def fl_one_step(s1):
                 a1 = _b(s1["act"])
                 n0, dndx, dndy = s1["n0"], s1["dndx"], s1["dndy"]
-                box2 = s1["box2"]
+                box2 = (cdz2 - s1["z2"]) if thin else s1["box2"]
                 n = n0 + s1["rx"] * dndx + s1["ry"] * dndy
                 # MUST match ops/fast_stepper.py expression-for-expression
                 # (per-lane step sequences stay in lockstep)
@@ -1064,7 +1139,8 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
                     "rx": rsel(zero_, rx), "ry": rsel(zero_, ry),
                     "rz": rsel(zero_, rz), "path": rsel(zero_, path),
                     "n0": rsel(n0n, n0), "dndx": rsel(dndxn, dndx),
-                    "dndy": rsel(dndyn, dndy), "box2": rsel(box2n, box2),
+                    "dndy": rsel(dndyn, dndy),
+                    **({} if thin else {"box2": rsel(box2n, box2)}),
                     "n_lag": rsel(n0n, n_lag),
                     "act": _m(a1 & (l2_ok | reinit)),
                     **({"nst": jnp.where(a1, s1["nst"] + f32(1.0),
@@ -1073,6 +1149,37 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
 
             for _ in range(fl_unroll):
                 s1 = fl_one_step(s1)
+
+            if thin:
+                # persist the service-only state to scratch; none of it is
+                # live through the unrolled step phase above
+                z_scr[:] = z
+                gvl_scr[:] = gvl
+                evl_scr[:] = evl
+                ivl_scr[:] = ivl
+                cg0_scr[:] = cg0
+                ci1_scr[:] = ci1
+                ck2_scr[:] = ck2
+                pend_scr[:] = _m(walk | work)
+                if use_emis:
+                    ce0_scr[:] = ce0
+                return {
+                    "px": s1["px"], "py": s1["py"], "sx": s1["sx"],
+                    "sy": s1["sy"], "sz": s1["sz"],
+                    "esc": _m(esc), "iz": iz,
+                    "act": s1["act"],
+                    "rx": s1["rx"], "ry": s1["ry"], "rz": s1["rz"],
+                    "path": s1["path"], "z2": s1["z2"], "ds": s1["ds"],
+                    "pz": s1["pz"], "n0": s1["n0"], "dndx": s1["dndx"],
+                    "dndy": s1["dndy"], "n_lag": s1["n_lag"],
+                    "cn1": cn1, "cn2": cn2, "cn3": cn3, "cn4": cn4,
+                    "cgx1": cgx1, "cgxd": cgxd, "cgy1": cgy1, "cgyd": cgyd,
+                    "cxlo": cxlo, "cylo": cylo, "cdz2": cdz2,
+                    **({"cdxc": cdxc, "cdyc": cdyc,
+                        "cinvdx": cinvdx, "cinvdy": cinvdy}
+                       if nonuniform else {}),
+                    **({"nst": s1["nst"]} if counting else {}),
+                }
 
             return {
                 "px": s1["px"], "py": s1["py"], "sx": s1["sx"],
@@ -1100,6 +1207,24 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
             }
 
         zseg = px0 * f32(0.0)
+        if thin:
+            st0 = {
+                "px": px0, "py": py0, "sx": sx0, "sy": sy0, "sz": sz0,
+                "esc": escf0, "iz": zseg, "act": zseg,
+                "rx": zseg, "ry": zseg, "rz": zseg, "path": zseg,
+                "z2": zseg, "ds": zseg, "pz": zseg,
+                "n0": zseg, "dndx": zseg, "dndy": zseg, "n_lag": zseg,
+                "cn1": zseg, "cn2": zseg, "cn3": zseg, "cn4": zseg,
+                "cgx1": zseg, "cgxd": zseg, "cgy1": zseg, "cgyd": zseg,
+                "cxlo": zseg, "cylo": zseg, "cdz2": zseg,
+                **({"cdxc": zseg, "cdyc": zseg,
+                    "cinvdx": zseg, "cinvdy": zseg} if nonuniform else {}),
+                **({"nst": nstf} if counting else {}),
+            }
+            st = jax.lax.while_loop(l0_cond, l0_body, st0)
+            # output rows were flushed in place by flush_refs
+            return (st["px"], st["py"], st["sx"], st["sy"], st["sz"],
+                    st["esc"]) + ((st["nst"],) if counting else ())
         st0 = {
             "px": px0, "py": py0, "sx": sx0, "sy": sy0, "sz": sz0,
             "z": zseg, "esc": escf0, "iz": zseg,
@@ -1122,7 +1247,6 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
             **({"nst": nstf} if counting else {}),
         }
         st = jax.lax.while_loop(l0_cond, l0_body, st0)
-        iim1 = ii - jnp.int32(1)
         for s in range(N_SUB):
             gvl_ref[pl.ds(iim1, 1), s] = st[f"og{s}"][None]
             evl_ref[pl.ds(iim1, 1), s] = st[f"oe{s}"][None]
@@ -1130,7 +1254,7 @@ def _stepper_kernel(smeta_ref, rx_ref, ry_ref, rsx_ref, rsy_ref, rsz_ref,
         return (st["px"], st["py"], st["sx"], st["sy"], st["sz"], st["esc"]
                 ) + ((st["nst"],) if counting else ())
 
-    body = seg_body_merged if structure == "merged" else seg_body
+    body = seg_body if structure == "nested" else seg_body_merged
     carry = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(nseg), body,
         (px, py, sx, sy, sz, escf) + ((zerosf,) if counting else ()))
@@ -1202,10 +1326,18 @@ def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret,
     out_one = pl.BlockSpec((1, TILE_ROWS, TILE_LANES), _imap(3),
                            memory_space=pltpu.VMEM)
 
+    # "merged-thin": service-only lane state lives in VMEM scratch instead
+    # of the while carry (one (TILE_ROWS,128) f32 buffer each; see
+    # _stepper_kernel). Scratch refs arrive after the outputs.
+    n_scr = (9 if pg_meta["use_emis"] else 8) if structure == "merged-thin" \
+        else 0
+
     def k(smeta_ref, rx_ref, ry_ref, sx_ref, sy_ref, sz_ref, tab_ref,
           gvl_ref, evl_ref, ivl_ref,
           ex_ref, ey_ref, esx_ref, esy_ref, esz_ref, eesc_ref,
-          nst_ref=None):
+          *rest):
+        nst_ref = rest[0] if counts else None
+        scr_refs = rest[1:] if counts else rest
         # i32 leading index: a bare python 0 traces as i64 under x64 mode,
         # which trips tpu.memref_slice once the segment dim is sliced
         # dynamically inside the kernel
@@ -1215,7 +1347,8 @@ def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret,
                gvl_ref.at[z], evl_ref.at[z], ivl_ref.at[z],
                ex_ref.at[z], ey_ref.at[z], esx_ref.at[z], esy_ref.at[z],
                esz_ref.at[z], eesc_ref.at[z],
-               None if nst_ref is None else nst_ref.at[z])
+               None if nst_ref is None else nst_ref.at[z],
+               scr_refs if scr_refs else None)
 
     def _imap_zero(n):
         def f(t):
@@ -1247,6 +1380,8 @@ def _trace_tiles_jit(rx, ry, ra, rb, tables, meta_key, N, dz0, c, interpret,
         out_specs=(out_big, out_big, out_big, out_one, out_one, out_one,
                    out_one, out_one, out_one)
         + ((out_one,) if counts else ()),
+        scratch_shapes=[pltpu.VMEM((TILE_ROWS, TILE_LANES), jnp.float32)
+                        for _ in range(n_scr)],
         interpret=interpret,
     )(smeta, rx, ry, sx, sy, sz, tables)
     return outs
@@ -1296,11 +1431,11 @@ def trace_tiles(rays, N: int, dz0: float, pg: PackedGain, method: int,
         interpret = jax.default_backend() != "tpu"
     if structure is None:
         structure = KERNEL_STRUCTURE
-    if structure not in ("merged", "nested"):
+    if structure not in ("merged", "merged-thin", "nested"):
         raise ValueError(f"unknown kernel structure {structure!r} "
-                         "(expected 'merged' or 'nested')")
+                         "(expected 'merged', 'merged-thin' or 'nested')")
     if fl_unroll is None:
-        fl_unroll = MERGED_UNROLL if structure == "merged" else FL_UNROLL
+        fl_unroll = FL_UNROLL if structure == "nested" else MERGED_UNROLL
     meta_key = meta_key_of(pg, method)
     return _trace_tiles_jit(rays["x"], rays["y"], rays["a"], rays["b"],
                             pg.tables, meta_key, N, float(dz0), float(c),

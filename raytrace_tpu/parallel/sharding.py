@@ -319,7 +319,11 @@ def prepare_sharded(problem: CreateImageProblem, mesh: Mesh,
     # gate as the single-chip path -- ASE-class stacked trace results only
     # (the seeded stack would hold ~0.7 GB between the dispatches)
     nseg_s = max(problem.N - 1, 1)
-    trace_bytes = n_chunks * chunk * (36 * nseg_s + 18)
+    # per-DEVICE bytes: between the two dispatches each device holds only
+    # its chunk/D shard of the stacked trace results (the stack is sharded
+    # over the mesh's ray axis), so the budget gates what one chip's HBM
+    # actually carries -- a whole-mesh bound would be D x too conservative
+    trace_bytes = n_chunks * (chunk // D) * (36 * nseg_s + 18)
     # single-process meshes only: the mid-call device_put of the gv stack
     # to a replicated sharding is a single-controller idiom; multi-process
     # runs keep the one-dispatch pipeline (gv rides as a jit argument)

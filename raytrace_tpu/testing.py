@@ -71,6 +71,49 @@ def time_stream_rounds(path, n_units, rounds, consume, salt0=0, scale=None):
     return per_call
 
 
+def time_stream_detailed(path, n_units, rounds, make_stream, salt0=0,
+                         scale=None):
+    """Per-YIELD wall times of a serving-mode stream (the self-attributing
+    variant of :func:`time_stream_rounds`).
+
+    ``make_stream(units)`` returns the stream iterator; this helper drains
+    it and timestamps every yield, so the artifact can carry per-call
+    completion intervals instead of only a round average. Returns
+    ``(per_call, rounds_detail)`` where ``per_call`` is the per-round
+    round_wall/n_units list (identical semantics to time_stream_rounds)
+    and ``rounds_detail`` is one dict per round::
+
+        {"round_wall_s": ..., "fill_s": <first-yield latency — pipeline
+         fill: upload+compute+readback of call 0 with nothing to overlap>,
+         "yield_s": [<t(yield k) - t(yield k-1)> for k >= 1]}
+
+    The steady-state throughput statistic is ``yield_s`` (inter-completion
+    spacing while the pipeline is full); ``fill_s`` is reported separately
+    because folding it in understates a deep pipeline exactly when the
+    link is slow — the attribution failure VERDICT r04 flagged in the
+    stream rows.
+    """
+    import time
+
+    per_call, detail = [], []
+    for r in range(rounds):
+        units = perturbed_problems(path, n_units, salt=salt0 + r,
+                                   scale=scale)
+        t0 = time.perf_counter()
+        marks = []
+        for _ in make_stream(units):
+            marks.append(time.perf_counter())
+        wall = marks[-1] - t0
+        per_call.append(wall / len(units))
+        detail.append({
+            "round_wall_s": round(wall, 4),
+            "fill_s": round(marks[0] - t0, 4),
+            "yield_s": [round(b - a, 4)
+                        for a, b in zip(marks, marks[1:])],
+        })
+    return per_call, detail
+
+
 def physical_gain(p: CreateImageProblem) -> CreateImageProblem:
     """Scale ``p``'s gain to the saturated X-ray-laser regime for long
     (N > ~5) paths: total exponent ~14 instead of ~57, keeping intensities

@@ -768,31 +768,32 @@ def test_backward_seeded_direct_cfg():
     assert np.linalg.norm(np.asarray(img) - np.asarray(img0)) > 0
 
 
-def test_chunked_scan_memory_flat():
+def test_chunked_scan_memory_flat(monkeypatch):
     """The scale envelope's memory story (Readme.txt:46-49 problem sizing):
     the whole-call pipeline is a lax.scan over fixed-size ray chunks, so
     compiled TEMP memory is set by the chunk, not the ray count. Quadruple
     the rays (na*nb x4) at a fixed chunk and the compiled temp footprint
     must stay ~flat -- the compile-time companion of bench.py's measured
     hbm_after_scale* telemetry on real hardware."""
-    import os
-
     from raytrace_tpu.models.ray_tracer import prepare_pipeline
 
-    os.environ["RAYTRACE_NO_SPLIT"] = "1"  # single-jit: one program to audit
-    try:
-        temps = {}
-        rays = {}
-        for tag, (na, nb) in {"1x": (8, 8), "4x": (16, 16)}.items():
-            p = synthetic_problem(nx=8, ny=5, na=na, nb=nb, nv=6)
-            prep = prepare_pipeline(p, "lax", chunk_size=2048)
-            assert not prep.cfg["split"]
-            d = prep.cfg["dims"]
-            rays[tag] = d[0] * d[1] * d[2] * d[3]
-            ma = prep.pipeline.lower(*prep.operands).compile().memory_analysis()
-            temps[tag] = int(ma.temp_size_in_bytes)
-    finally:
-        del os.environ["RAYTRACE_NO_SPLIT"]
+    # single-jit: one program to audit (monkeypatch restores any
+    # pre-existing value; a manual set/del would clobber it)
+    monkeypatch.setenv("RAYTRACE_NO_SPLIT", "1")
+    temps = {}
+    rays = {}
+    for tag, (na, nb) in {"1x": (8, 8), "4x": (16, 16)}.items():
+        p = synthetic_problem(nx=8, ny=5, na=na, nb=nb, nv=6)
+        prep = prepare_pipeline(p, "lax", chunk_size=2048)
+        assert not prep.cfg["split"]
+        d = prep.cfg["dims"]
+        rays[tag] = d[0] * d[1] * d[2] * d[3]
+        ma = prep.pipeline.lower(*prep.operands).compile().memory_analysis()
+        temps[tag] = int(ma.temp_size_in_bytes)
     assert rays["4x"] >= 4 * rays["1x"]
-    # flat up to small per-chunk bookkeeping, nowhere near the 4x ray growth
+    # flat up to small per-chunk bookkeeping, nowhere near the 4x ray
+    # growth. The 1.6x headroom absorbs XLA temp-allocation drift across
+    # versions (padding/scratch policy changes); a true per-ray temp would
+    # show up as ~4x, far outside this band, so the guard stays meaningful
+    # even if an XLA upgrade shifts the constant.
     assert temps["4x"] <= 1.6 * temps["1x"], temps

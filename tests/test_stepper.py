@@ -181,3 +181,32 @@ def test_pallas_step_counts_match_fast_census():
     # and the counting variant must not perturb the physics outputs
     outs0 = pk.trace_tiles(tiled, p.N, b.dz, pg, 1)
     assert np.array_equal(np.asarray(outs[0]), np.asarray(outs0[0]))
+
+
+@pytest.mark.parametrize("seeded", [False, True])
+def test_merged_thin_bitwise_equals_merged(seeded):
+    """The carry-thinned merged loop (structure="merged-thin": service-only
+    lane state in VMEM scratch, per-sub slots flushed straight into the
+    output refs, box2 recomputed from cdz2 - z2) executes the SAME per-lane
+    ops in the SAME order as "merged" -- only storage differs -- so every
+    output must be BITWISE equal, counts variant included. A ulp-level
+    difference here means the thinning changed an expression, not just a
+    location."""
+    from raytrace_tpu.ops import pallas_kernel as pk
+
+    p = synthetic_problem(seeded=seeded, rng=11)
+    b = p.euv_beam
+    use_emis = not seeded
+    method = 2 if seeded else 1
+    pg = pk.pack_gain_tables(p.gain, use_emis=use_emis)
+    rng = np.random.default_rng(5)
+    xs, ys, aa, bb = _sample_rays(p, pk.TILE, rng)
+    tiled = {k: jnp.asarray(v).reshape(1, pk.TILE_ROWS, pk.TILE_LANES)
+             for k, v in zip("xyab", (xs, ys, aa, bb))}
+    outs = {s: [np.asarray(o) for o in pk.trace_tiles(
+        tiled, p.N, b.dz, pg, method, structure=s, counts=True)]
+        for s in ("merged", "merged-thin")}
+    names = ("gvl", "evl", "ivl", "ex", "ey", "esx", "esy", "esz", "esc",
+             "counts")
+    for name, a, bb_ in zip(names, outs["merged"], outs["merged-thin"]):
+        assert np.array_equal(a, bb_), f"{name} not bitwise equal"

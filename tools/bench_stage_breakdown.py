@@ -133,11 +133,81 @@ def main():
         print(f"  {label}: {per*1e3:.1f} ms/call", file=sys.stderr)
         return per
 
+    # prefix scanners for the amplify/bin split: preamp = trace + seed
+    # init; prebin = trace + seed + amplify (everything but binning). All
+    # consume their outputs into the f64 accumulator so nothing is DCE'd.
+    # => seed = preamp - trace, amplify = prebin - preamp,
+    #    bin = full - prebin (same scan-differencing protocol throughout).
+    from raytrace_tpu.ops import pallas_amplify, spectrum
+    from raytrace_tpu.ops import seed as seed_ops
+
+    def _seed_iv0(res, ijkm, ray_grids_u):
+        rays, (i_, j_, k_, m_) = rt._chunk_rays(cfg, ijkm, ray_grids_u)
+        B = ijkm.shape[0]
+        K = cfg["K"]
+        sdt = jnp.dtype(cfg["spectrum_dtype"])
+        if seed_dev is None:
+            return jnp.zeros((B, K), dtype=sdt)
+        if isinstance(seed_dev, seed_ops.EntrySeedTables):
+            iv0 = seed_ops.calc_seed_entry(seed_dev, i_, j_, k_, m_, K)
+        elif cfg["method"] == 1:
+            iv0 = seed_ops.calc_seed_batch(seed_dev, res.exit_x, res.exit_y,
+                                           res.exit_a, res.exit_b, K)
+        else:
+            iv0 = seed_ops.calc_seed_batch(seed_dev, rays["x"], rays["y"],
+                                           rays["a"], rays["b"], K)
+        return jnp.where(res.escaped[:, None], 0.0, iv0).astype(sdt)
+
+    def _prefix_scanner(with_amplify):
+        def mk(S_):
+            def scanner(pack_in, tts, gvs):
+                ray_grids_u, _beam, _ds = rt.unpack_bundle(cfg, pack_in)
+
+                def body(acc, xs):
+                    t, g = xs
+
+                    def cbody(a2, ci):
+                        ijkm, _v, _it = chunk_indices(ci)
+                        res = rt.chunk_trace(cfg, trace_fn, ijkm,
+                                             ray_grids_u, t)
+                        iv0 = _seed_iv0(res, ijkm, ray_grids_u)
+                        if with_amplify:
+                            if isinstance(g, pallas_amplify.PackedGv):
+                                iv = spectrum.amplify(
+                                    res, iv0, g.gv, cfg["N"],
+                                    cfg["use_emis"],
+                                    dtype=cfg["spectrum_dtype"],
+                                    packed_gv=g)
+                            else:
+                                iv = spectrum.amplify(
+                                    res, iv0, g, cfg["N"], cfg["use_emis"],
+                                    dtype=cfg["spectrum_dtype"])
+                        else:
+                            iv = iv0
+                        s = (iv.astype(jnp.float64).sum()
+                             + res.gvl.astype(jnp.float64).sum()
+                             + res.exit_x.astype(jnp.float64).sum())
+                        return a2 + s, None
+                    a3, _ = jax.lax.scan(cbody, acc,
+                                         jnp.arange(n_chunks,
+                                                    dtype=jnp.int32))
+                    return a3, None
+                out, _ = jax.lax.scan(body, jnp.float64(0.0), (tts, gvs))
+                return out
+            return jax.jit(scanner)
+        return mk
+
     full = measure(scan_full,
                    lambda s_, r: (pack_h, stack_t(s_, r), stack_g(s_, r)),
                    "full pipeline")
     trace = measure(scan_trace, lambda s_, r: (pack_h, stack_t(s_, r)),
                     "trace only")
+    preamp = measure(_prefix_scanner(False),
+                     lambda s_, r: (pack_h, stack_t(s_, r), stack_g(s_, r)),
+                     "trace+seed")
+    prebin = measure(_prefix_scanner(True),
+                     lambda s_, r: (pack_h, stack_t(s_, r), stack_g(s_, r)),
+                     "trace+seed+amplify")
 
     # ---- deposit A/B inside the same protocol ----
     dep_results = {}
@@ -173,6 +243,11 @@ def main():
         "compute_full_s": round(full, 4),
         "compute_trace_s": round(trace, 4),
         "compute_post_s": round(full - trace, 4),
+        "compute_preamp_s": round(preamp, 4),
+        "compute_prebin_s": round(prebin, 4),
+        "compute_seed_s": round(preamp - trace, 4),
+        "compute_amplify_s": round(prebin - preamp, 4),
+        "compute_bin_s": round(full - prebin, 4),
         **{f"compute_full_{k}_s": round(v, 4) for k, v in
            dep_results.items()},
     }, indent=1))

@@ -35,8 +35,19 @@ INPUT = sys.argv[1] if len(sys.argv) > 1 else "/root/reference/ASE_small.dat"
 SCALE = float(sys.argv[2]) if len(sys.argv) > 2 else 16.0
 S = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 4
-ROWS = ([int(r) for r in sys.argv[5].split(",")] if len(sys.argv) > 5
-        else [8, 16, 32])
+# variants: "rows", "rows:structure" or "rows:structure:unroll",
+# e.g. 16,32:merged-thin,32:merged-thin:4
+def _parse_variant(tok):
+    parts = tok.split(":")
+    rows = int(parts[0])
+    st = parts[1] if len(parts) > 1 and parts[1] else None
+    u = int(parts[2]) if len(parts) > 2 else None
+    return rows, st, u
+
+
+ROWS = ([_parse_variant(r) for r in sys.argv[5].split(",")]
+        if len(sys.argv) > 5
+        else [(8, None, None), (16, None, None), (32, None, None)])
 assert S >= 2
 
 
@@ -62,11 +73,20 @@ def main():
     n_chunks = cfg["n_chunks"]
     rows0, tile0 = pk.TILE_ROWS, pk.TILE
 
-    def scanner_for(rows, S_):
+    struct0 = pk.KERNEL_STRUCTURE
+    unroll0 = pk.MERGED_UNROLL
+
+    def scanner_for(variant, S_):
+        rows, structure, unroll = variant
         # the kernel and the tiling helpers read the module constants at
         # trace time, so patching them specializes the whole build; input
         # shapes differ per variant, so jit caches cannot cross-serve
+        # (structure/unroll additionally key _trace_tiles_jit static args)
         pk.TILE_ROWS, pk.TILE = rows, rows * pk.TILE_LANES
+        if structure is not None:
+            pk.KERNEL_STRUCTURE = structure
+        if unroll is not None:
+            pk.MERGED_UNROLL = unroll
         try:
             assert cfg["chunk"] % pk.TILE == 0, (cfg["chunk"], pk.TILE)
             trace_fn = rt.make_pallas_trace_fn(cfg)
@@ -96,42 +116,49 @@ def main():
             return f
         finally:
             pk.TILE_ROWS, pk.TILE = rows0, tile0
+            pk.KERNEL_STRUCTURE = struct0
+            pk.MERGED_UNROLL = unroll0
 
     def stack_t(r):
         f = 1.0 + 1e-6 * r
         return np.stack([tt_h * np.float32(f + 1e-6 * s) for s in range(S)])
 
-    fns = {}
-    for rows in ROWS:
-        print(f"compiling rows={rows} (S={S} and S=1)...", file=sys.stderr)
-        fns[rows] = (scanner_for(rows, S), scanner_for(rows, 1))
+    def _tag(variant):
+        rows, structure, unroll = variant
+        return (f"rows{rows}" + (f":{structure}" if structure else "")
+                + (f":u{unroll}" if unroll else ""))
 
-    best = {r: [] for r in ROWS}
+    fns = {}
+    for v in ROWS:
+        print(f"compiling {_tag(v)} (S={S} and S=1)...", file=sys.stderr)
+        fns[v] = (scanner_for(v, S), scanner_for(v, 1))
+
+    best = {v: [] for v in ROWS}
     for rep in range(REPS):
         xs = stack_t(rep + 1)
         vals = {}
-        for rows in ROWS:
-            fs, f1 = fns[rows]
+        for v in ROWS:
+            fs, f1 = fns[v]
             t0 = time.perf_counter()
-            vals[rows] = float(fs(pack_h, xs))
+            vals[v] = float(fs(pack_h, xs))
             ts = time.perf_counter() - t0
             t0 = time.perf_counter()
             float(f1(pack_h, xs[:1]))
             t1 = time.perf_counter() - t0
-            best[rows].append((ts - t1) / (S - 1))
+            best[v].append((ts - t1) / (S - 1))
         ref_v = next(iter(vals.values()))
-        for rows, val in vals.items():
+        for v, val in vals.items():
             rel = abs(val - ref_v) / max(abs(ref_v), 1e-30)
             assert rel < 1e-4, (
-                f"rows={rows} checksum diverges: {val} vs {ref_v} "
+                f"{_tag(v)} checksum diverges: {val} vs {ref_v} "
                 f"(rel {rel:.2e})")
     out = {"input": os.path.basename(INPUT), "scale": SCALE, "S": S,
            "reps": REPS, "structure": pk.KERNEL_STRUCTURE,
            "unroll": pk.MERGED_UNROLL}
-    for rows in ROWS:
-        out[f"trace_s_rows{rows}_best"] = round(min(best[rows]), 4)
-        out[f"trace_s_rows{rows}_med"] = round(
-            sorted(best[rows])[len(best[rows]) // 2], 4)
+    for v in ROWS:
+        out[f"trace_s_{_tag(v)}_best"] = round(min(best[v]), 4)
+        out[f"trace_s_{_tag(v)}_med"] = round(
+            sorted(best[v])[len(best[v]) // 2], 4)
     print(json.dumps(out))
 
 

@@ -230,6 +230,13 @@ def _check_stream(ci, kw, scale_g0, want_lax, want_pallas=None):
     return bad
 
 
+#: (case_idx, which_output, self_sensitivity, widened_tol) per engagement
+#: of the self-calibrating chaos gate -- summarized at the end of the run
+#: so systematic engagement (a possible common-mode backend bug hiding
+#: behind chaos) is visible, not buried in per-case log lines
+CHAOS_GATE_ENGAGED = []
+
+
 def run_case(ci, kw):
     method = 2 if kw.get("seeded") else 1
     bad = 0
@@ -279,6 +286,14 @@ def run_case(ci, kw):
         def chaos_tol(base, which):
             t = min(max(base, 4.0 * chaos_sens()[which]), 0.25)
             if t > base:
+                # record engagement globally: a COMMON-MODE bug shared by
+                # all batched backends could hide behind this widened gate
+                # (the tight cross-backend gates would not see it since the
+                # backends agree with each other), so systematic engagement
+                # across the run must be visible in the final summary, not
+                # just per-case log lines
+                CHAOS_GATE_ENGAGED.append(
+                    (ci, which, float(chaos_sens()[which]), float(t)))
                 print(f"  [{ci}] chaos gate engaged "
                       f"(oracle self-sensitivity {chaos_sens()[which]:.2e})")
             return t
@@ -415,7 +430,19 @@ def main():
         if _rss_gb() > 8.0 or _map_count() > 30000:
             _release_memory()
             _ALT_SYNC.clear()  # its pipeline was just dropped too
-    print(f"fuzz done: {len(cases)} cases, {bad} problems")
+    if CHAOS_GATE_ENGAGED:
+        frac = len({c for c, *_ in CHAOS_GATE_ENGAGED}) / len(cases)
+        print(f"chaos gate engaged {len(CHAOS_GATE_ENGAGED)} time(s) across "
+              f"{len({c for c, *_ in CHAOS_GATE_ENGAGED})} case(s) "
+              f"({100 * frac:.0f}% of run): "
+              + ", ".join(f"[{c}] out{w} sens={s:.1e} tol={t:.1e}"
+                          for c, w, s, t in CHAOS_GATE_ENGAGED))
+        if frac > 0.25:
+            print("WARNING: chaos gate engaged on >25% of cases -- the "
+                  "widened tolerance could be masking a common-mode backend "
+                  "bug; inspect the engaged cases' cross-backend agreement")
+    print(f"fuzz done: {len(cases)} cases, {bad} problems, "
+          f"chaos_gate_engagements={len(CHAOS_GATE_ENGAGED)}")
     return bad
 
 

@@ -24,7 +24,49 @@ Anchors (why these are trustworthy):
   used, and no stage here is MXU-bound.
 """
 
+import hashlib
 import json
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
+# ---------------------------------------------------------------------------
+# freshness contract (VERDICT r04 item 3): every constant below was measured
+# against a specific kernel; a kernel edit silently invalidates them. The
+# fingerprint hashes the SEMANTIC source (comment/blank lines stripped) of
+# the two files whose op stream the constants describe, plus the runtime
+# kernel knobs. main() refuses to print "bounded, no lever remains" verdicts
+# against a stale fingerprint (exit 2) unless --stale-ok is passed.
+# ---------------------------------------------------------------------------
+_FINGERPRINT_FILES = ("raytrace_tpu/ops/pallas_kernel.py",
+                      "raytrace_tpu/ops/fast_stepper.py")
+
+
+def kernel_fingerprint():
+    """Hash of the kernel's semantic source + knob values. Comment-only and
+    formatting edits don't invalidate measurements; any code-line change
+    does (conservative: a changed line that provably keeps the op stream
+    identical still requires a re-stamp -- re-stamping is one command)."""
+    h = hashlib.sha256()
+    for rel in _FINGERPRINT_FILES:
+        with open(os.path.join(_REPO, rel)) as f:
+            for line in f:
+                s = line.split("#", 1)[0].rstrip()
+                if s:
+                    h.update(s.encode())
+                    h.update(b"\n")
+    from raytrace_tpu.ops import pallas_kernel as pk
+    h.update(repr((pk.TILE_ROWS, pk.FL_UNROLL, pk.MERGED_UNROLL,
+                   pk.KERNEL_STRUCTURE)).encode())
+    return h.hexdigest()[:16]
+
+
+#: fingerprint at the time the M constants below were (re)measured; update
+#: with --restamp after re-running the tools named in each comment
+MEASURED_FINGERPRINT = "PLACEHOLDER"
+MEASURED_COMMIT = "PLACEHOLDER"
 
 # ---------------------------------------------------------------------------
 # measured inputs (scale16 ASE = the ASE_medium proxy; TPU v5e, tunneled)
@@ -54,6 +96,33 @@ M = dict(
     step_slots=139, step_divides=5, service_slots=250, fetch_channels=16,
     # link floors (bench.py probes / ROADMAP ASE breakdown):
     hbm_gbps=819.0,
+)
+
+# ---------------------------------------------------------------------------
+# measured inputs, seeded flagship workload (seed_small.dat, 7.8M rays,
+# K=82, forward method; the reference's "~10x longer" row, Readme.txt:48)
+# ---------------------------------------------------------------------------
+M_SEED = dict(
+    # tools/bench_stage_breakdown.py seed_small 1.0 pallas 4, 2026-08-20
+    # (scan-differenced; prefix scanners split post into seed/amplify/bin;
+    # one self-consistent run -- the full-pipeline scanner showed ~11%
+    # run-to-run drift across separate runs (627-698 ms), so mixing stage
+    # numbers across runs would corrupt the split):
+    full_s=0.6983, trace_s=0.2140, post_s=0.4843,
+    preamp_s=0.2274,   # trace + seed-init
+    prebin_s=0.5232,   # trace + seed + amplify
+    # workload geometry (from the same tool's JSON):
+    rays=7_803_000, K=82, nseg=2, n_chunks=120, chunk=65536,
+    img_cells=1500, deposit="matmul",
+    # deposit A/B at this scale (earlier run, same protocol): scatter
+    # measured WORSE (0.804 vs 0.627 full in that run)
+    scatter_full_s=0.8039,
+    # tools/steps_analysis.py seed census (round 3, re-validated by the
+    # lockstep tests): natural tile utilization at (8,128)
+    natural_util=0.678,
+    # tools/bench_tile_rows.py 2026-08-20: trace at (16,128)/u6 -- matches
+    # the 0.2107 scan-differenced number above within 0.4%
+    trace_rows16_s=0.2114,
 )
 
 
@@ -174,6 +243,62 @@ def report():
       f"dense (pure-reduction) and one-hot-MXU deposits both measured "
       f"WORSE at this scale (r2/r3 A/Bs). 12% of the call; no lever.")
 
+    # ---- seeded flagship workload ----------------------------------------
+    p("")
+    p("== SEEDED (seed_small, 7.8M rays, K=82, forward) ==")
+    S_ = M_SEED
+    if S_["preamp_s"] is None or S_["prebin_s"] is None:
+        p("(seed/amplify/bin split not yet measured -- run "
+          "tools/bench_stage_breakdown.py seed_small.dat 1.0 pallas 4 "
+          "and fill M_SEED.preamp_s/prebin_s)")
+    else:
+        seed_s = S_["preamp_s"] - S_["trace_s"]
+        amp_s = S_["prebin_s"] - S_["preamp_s"]
+        bin_s = S_["full_s"] - S_["prebin_s"]
+        p(f"measured: full {S_['full_s']*1e3:.0f} ms = trace "
+          f"{S_['trace_s']*1e3:.0f} + seed {seed_s*1e3:.0f} + amplify "
+          f"{amp_s*1e3:.0f} + bin {bin_s*1e3:.0f} (matmul deposit; "
+          f"scatter measured {S_['scatter_full_s']*1e3:.0f} ms full)")
+        # trace floor: same per-step cost basis as ASE (the kernel is the
+        # same program; only the ray population differs) -- the census
+        # said seeded tiles run at 67.8% natural utilization vs 47.2%
+        el = S_["rays"] * S_["K"]
+        n_terms = S_["nseg"] * 3
+        # gain-only amplify: per (element, term) one gv row share + exp
+        # (~20 slots incl. the two-float MAC; no emissivity closed form)
+        amp_alu = el * n_terms * 20 / 1024 * M["fma_ind8_ns"] * 1e-9
+        amp_hbm = el * n_terms * 4 / 1e9 / M["hbm_gbps"]
+        p(f"amplify floors: ALU {amp_alu*1e3:.0f} ms (6 terms x ~20 "
+          f"slots, throughput regime), HBM {amp_hbm*1e3:.0f} ms "
+          f"({el*n_terms*4/1e9:.1f} GB of K-wide gv rows) -> measured "
+          f"runs at {max(amp_alu, amp_hbm)/amp_s*100:.0f}% of the "
+          f"binding floor; the residual is the XLA row-gather engine "
+          f"(same structural bound as the ASE class -- every "
+          f"alternative fetch measured worse, ROADMAP dead-ends)")
+        # bin: matmul (one-hot MXU) deposit -- floor is the Iv read +
+        # [cells, K] f64 image update per chunk
+        bin_bytes = (el * 4
+                     + S_["n_chunks"] * S_["img_cells"] * S_["K"] * 8 * 2)
+        bin_hbm = bin_bytes / 1e9 / M["hbm_gbps"]
+        p(f"bin floor (HBM: Iv read + per-chunk [cells,K] f64 image "
+          f"r/m/w): {bin_hbm*1e3:.1f} ms -> measured "
+          f"{bin_s/max(bin_hbm,1e-9):.1f}x above it; the one-hot matmul "
+          f"work itself rides the MXU (measured faster than scatter at "
+          f"K=82 row width, {S_['scatter_full_s']*1e3:.0f} vs "
+          f"{S_['full_s']*1e3:.0f} ms full)")
+        p(f"seed-init: {seed_s*1e3:.0f} ms (4 per-axis pchip factor "
+          f"gathers + product per (ray, K); "
+          f"{seed_s/S_['full_s']*100:.0f}% of the call)")
+        util = S_["natural_util"]
+        p(f"VERDICT seeded: compute-bound at "
+          f"{S_['rays']/S_['full_s']/1e6:.1f}M rays/s compute (vs the "
+          f"sync-wall ~9-12M rays/s incl. link); trace at {util*100:.0f}% "
+          f"natural tile utilization (census) leaves < 1.15x from "
+          f"ordering (measured-closed: reorder lost 8% e2e, ROADMAP); "
+          f"amplify+bin sit on the same gather/deposit engines as the "
+          f"ASE class with both alternatives measured worse. The "
+          f"remaining large axis is ray-sharded multi-chip.")
+
     # ---- whole call -------------------------------------------------------
     p("")
     p("== WHOLE CALL (scale16 sync) ==")
@@ -190,9 +315,52 @@ def report():
     return "\n".join(out)
 
 
+def _selfstamp(fp):
+    """Rewrite MEASURED_FINGERPRINT/COMMIT in this file (--restamp)."""
+    import re
+    import subprocess
+    path = os.path.abspath(__file__)
+    commit = subprocess.run(["git", "rev-parse", "HEAD"], cwd=_REPO,
+                            capture_output=True, text=True).stdout.strip()
+    src = open(path).read()
+    src = re.sub(r'MEASURED_FINGERPRINT = "[^"]*"',
+                 f'MEASURED_FINGERPRINT = "{fp}"', src, count=1)
+    src = re.sub(r'MEASURED_COMMIT = "[^"]*"',
+                 f'MEASURED_COMMIT = "{commit}"', src, count=1)
+    open(path, "w").write(src)
+    print(f"stamped fingerprint={fp} commit={commit[:12]}")
+
+
 if __name__ == "__main__":
+    fp = kernel_fingerprint()
+    if "--restamp" in sys.argv:
+        _selfstamp(fp)
+        raise SystemExit(0)
+    fresh = fp == MEASURED_FINGERPRINT
+    if not fresh and "--stale-ok" not in sys.argv:
+        print(f"STALE ROOFLINE CONSTANTS: kernel fingerprint {fp} != "
+              f"{MEASURED_FINGERPRINT} (constants measured at commit "
+              f"{MEASURED_COMMIT[:12]}).\n"
+              "The kernel's semantic source or knobs changed since the M/"
+              "M_SEED constants were measured, so every bound below may be "
+              "invalid. Re-measure, update the constants, then re-stamp:\n"
+              "  python tools/bench_unroll.py      # sweep / per-round cost\n"
+              "  python tools/bench_tile_rows.py   # tile-shape trace times\n"
+              "  python tools/bench_stage_breakdown.py [input] [scale]\n"
+              "  python tools/steps_analysis.py    # census rounds\n"
+              "  python tools/vpu_probe.py         # VPU anchors (per-rig)\n"
+              "  python tools/roofline.py --restamp\n"
+              "(or run with --stale-ok to see the stale report anyway)",
+              file=sys.stderr)
+        raise SystemExit(2)
     print(report())
     print()
-    print(json.dumps({"inputs": {k: (v if not isinstance(v, dict) else
-                                     {str(a): b for a, b in v.items()})
-                                 for k, v in M.items()}}))
+    print(json.dumps({
+        "kernel_fingerprint": fp,
+        "fingerprint_fresh": fresh,
+        "measured_at_commit": MEASURED_COMMIT,
+        "inputs": {k: (v if not isinstance(v, dict) else
+                       {str(a): b for a, b in v.items()})
+                   for k, v in M.items()},
+        "inputs_seed": {k: v for k, v in M_SEED.items()},
+    }))
