@@ -65,8 +65,8 @@ def kernel_fingerprint():
 
 #: fingerprint at the time the M constants below were (re)measured; update
 #: with --restamp after re-running the tools named in each comment
-MEASURED_FINGERPRINT = "PLACEHOLDER"
-MEASURED_COMMIT = "PLACEHOLDER"
+MEASURED_FINGERPRINT = "4418cefe64dd6d80"
+MEASURED_COMMIT = "870a9e331221f7086fad4fa87fa5a47e44fd9790"
 
 # ---------------------------------------------------------------------------
 # measured inputs (scale16 ASE = the ASE_medium proxy; TPU v5e, tunneled)
@@ -203,9 +203,14 @@ def report():
     p("VERDICT trace: bounded at ~6-7% of the absolute VPU-throughput "
       "roofline, but every factor of the gap is individually measured "
       "with its lever either landed (2-chain tiles), measured-worse "
-      "(4 chains, u>6, reorder, cross-segment merge), or structural "
-      "(divergence is the physics of the ray population). Next lever "
-      "if ever revisited: carry thinning to make 4 chains viable.")
+      "(u>6, reorder, cross-segment merge), or structural (divergence "
+      "is the physics of the ray population). The last named lever -- "
+      "carry thinning to make 4 chains viable -- was EXECUTED in round "
+      "5 (structure='merged-thin', ~49 -> ~30 carried arrays, bitwise-"
+      "equal outputs): it removed the rows32 register-pressure loss "
+      "(rows32:thin ties rows16 on both workloads) but no win appears "
+      "behind it -- latency hiding saturates at 2 chains for this op "
+      "stream. Measured-closed; ROADMAP 'Carry thinning' section.")
 
     # ---- amplify ----------------------------------------------------------
     p("")
