@@ -158,3 +158,28 @@ def test_cli_reorder_label_reflects_execution(golden_file, capsys):
     out = capsys.readouterr().out
     assert rc == 0, out
     assert "pallas+stream+reorder" in out
+
+
+def test_time_stream_detailed_accounting(tmp_path, monkeypatch):
+    """The stream-row timing helper's accounting identities: per_call =
+    round_wall / n_units, round_wall ~= fill + sum(yield_s), one fill +
+    n-1 yields per round -- the contract bench.py's steady-state stream
+    stats (and their stability gates) are computed against."""
+    from raytrace_tpu import testing as T
+
+    # fake unit source: no file IO, three sentinel units per round
+    monkeypatch.setattr(T, "perturbed_problems",
+                        lambda path, n, salt=0, scale=None: list(range(n)))
+
+    def fake_stream(units):
+        for u in units:
+            yield u
+
+    per_call, detail = T.time_stream_detailed("ignored", 3, 2, fake_stream)
+    assert len(per_call) == 2 and len(detail) == 2
+    for pc, d in zip(per_call, detail):
+        assert len(d["yield_s"]) == 2  # n_units - 1
+        assert d["fill_s"] >= 0 and d["round_wall_s"] >= 0
+        recon = d["fill_s"] + sum(d["yield_s"])
+        assert abs(recon - d["round_wall_s"]) < 5e-3  # rounding only
+        assert abs(pc - d["round_wall_s"] / 3) < 5e-3
