@@ -23,10 +23,15 @@ Usage (mirrors the reference flags, Readme.txt:42-59 / CreateImageHelpers.h:50-9
                                  which overlaps call k+1's table upload
                                  with call k's compute. Reported as an
                                  extra "<method>+stream" row (per-call
-                                 seconds = pass wall time / N); no golden
-                                 row (the tables are perturbed per call).
-                                 No reference analogue -- its harness
-                                 times synchronous calls.
+                                 seconds = pass wall time / N, pipeline
+                                 fill included) plus a "...+stream.steady"
+                                 row of inter-completion spacing with the
+                                 pipeline full (the weather-immune
+                                 throughput statistic; bench.py "ARTIFACT
+                                 SCHEMA"); no golden row (the tables are
+                                 perturbed per call). No reference
+                                 analogue -- its harness times
+                                 synchronous calls.
       -reorder                   with -stream: sort each call's rays by
                                  the previous call's measured per-ray
                                  micro-step counts (the cost-feedback
@@ -180,20 +185,24 @@ def run_tests(filename: str, options: Options) -> int:
         if options.stream > 0:
             from raytrace_tpu.models.ray_tracer import (create_image_stream,
                                                         prepare_pipeline)
-            from raytrace_tpu.testing import time_stream_rounds
+            from raytrace_tpu.testing import time_stream_detailed
 
-            def consume(units, _m=method):
-                nonlocal n_errors
-                for s_img, s_ang in create_image_stream(
-                        units, _m, spectrum_dtype=sdtype,
-                        reorder=options.reorder):
-                    if not (np.isfinite(s_img).all()
-                            and np.isfinite(s_ang).all()):
-                        n_errors += 1
+            def make_stream(units, _m=method):
+                def gen():
+                    nonlocal n_errors
+                    for s_img, s_ang in create_image_stream(
+                            units, _m, spectrum_dtype=sdtype,
+                            reorder=options.reorder):
+                        if not (np.isfinite(s_img).all()
+                                and np.isfinite(s_ang).all()):
+                            n_errors += 1
+                        yield s_img, s_ang
+                return gen()
 
             # two rounds -> a min and a spread
-            per_call = time_stream_rounds(filename, options.stream, 2,
-                                          consume, scale=options.scale)
+            per_call, detail = time_stream_detailed(
+                filename, options.stream, 2, make_stream,
+                scale=options.scale)
             # label by what actually EXECUTED: -reorder is silently inert
             # off the pallas envelope (prepare_pipeline's fallback policy),
             # and a row claiming a reorder measurement that never ran
@@ -204,6 +213,13 @@ def run_tests(filename: str, options: Options) -> int:
             tag = "+stream+reorder" if ran_reorder else "+stream"
             rows.append((f"{label}{tag}",
                          TimingStats.of(_gather_times(per_call))))
+            # steady-state inter-completion spacing (pipeline-full
+            # throughput; fill excluded -- see bench.py ARTIFACT SCHEMA):
+            # the weather-immune serving-mode statistic
+            yields = [y for d in detail for y in d["yield_s"]]
+            if yields:
+                rows.append((f"{label}{tag}.steady",
+                             TimingStats.of(_gather_times(yields))))
 
     if multichip:
         from raytrace_tpu.parallel.mesh import make_mesh
@@ -225,21 +241,28 @@ def run_tests(filename: str, options: Options) -> int:
                 n_errors += 1
         if options.stream > 0:
             from raytrace_tpu.models.ray_tracer import create_image_stream
-            from raytrace_tpu.testing import time_stream_rounds
+            from raytrace_tpu.testing import time_stream_detailed
 
-            def consume_mc(units):
-                nonlocal n_errors
-                for s_img, s_ang in create_image_stream(
-                        units, mesh=mesh, spectrum_dtype=sdtype):
-                    if not (np.isfinite(s_img).all()
-                            and np.isfinite(s_ang).all()):
-                        n_errors += 1
+            def make_stream_mc(units):
+                def gen():
+                    nonlocal n_errors
+                    for s_img, s_ang in create_image_stream(
+                            units, mesh=mesh, spectrum_dtype=sdtype):
+                        if not (np.isfinite(s_img).all()
+                                and np.isfinite(s_ang).all()):
+                            n_errors += 1
+                        yield s_img, s_ang
+                return gen()
 
-            per_call = time_stream_rounds(filename, options.stream, 2,
-                                          consume_mc, salt0=10,
-                                          scale=options.scale)
+            per_call, detail = time_stream_detailed(
+                filename, options.stream, 2, make_stream_mc, salt0=10,
+                scale=options.scale)
             rows.append((f"multichip[{mesh.size}]+stream",
                          TimingStats.of(_gather_times(per_call))))
+            yields = [y for d in detail for y in d["yield_s"]]
+            if yields:
+                rows.append((f"multichip[{mesh.size}]+stream.steady",
+                             TimingStats.of(_gather_times(yields))))
 
     w = max(14, max((len(r[0]) for r in rows), default=14))
     pout.write(f"\n{'METHOD':>{w}s} {'Avg':>8s} {'Min':>8s} {'Max':>8s} {'Std Dev':>9s}\n")
