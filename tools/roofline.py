@@ -72,10 +72,16 @@ MEASURED_COMMIT = "870a9e331221f7086fad4fa87fa5a47e44fd9790"
 # measured inputs (scale16 ASE = the ASE_medium proxy; TPU v5e, tunneled)
 # ---------------------------------------------------------------------------
 M = dict(
-    # tools/bench_stage_breakdown.py, 2026-08-20 (scan-differenced):
-    full_s=0.591, trace_s=0.360, post_s=0.2306,
-    # round-3 amplify/bin split of post (separate probe, same protocol):
-    amplify_s=0.139, bin_s=0.076,
+    # tools/bench_stage_breakdown.py, 2026-08-20 round 5, on the CURRENT
+    # (16,128) default kernel (scan-differenced, one self-consistent run;
+    # the r4 rows8 numbers were full 0.591 / trace 0.360):
+    full_s=0.548, trace_s=0.3008, post_s=0.2472,
+    # amplify/bin split via the r5 prefix scanners (trace+seed 297.2 --
+    # the -3.6 ms "seed" on ASE is the scanner's noise floor, there is no
+    # seed stage -- trace+seed+amplify 422.8): amplify = 125.6, bin =
+    # 125.2. (The r3-era separate-probe split was 139/76; the prefix-
+    # scanner split is self-consistent within one run and supersedes it.)
+    amplify_s=0.1256, bin_s=0.1252,
     # workload geometry:
     rays=6_384_000, K=52, nseg=2, n_chunks=98, chunk=65536,
     img_cells=6001,
@@ -86,7 +92,10 @@ M = dict(
     # tools/bench_unroll.py merged:u{1,2,3,6,8,12}, 2026-08-20 (trace-only):
     sweep={1: 0.575, 2: 0.4192, 3: 0.3649, 6: 0.3295, 8: 0.3437,
            12: 0.3693},
-    # tools/bench_tile_rows.py, 2026-08-20: (16,128) tiles at u6
+    # tools/bench_tile_rows.py, 2026-08-20: (16,128) tiles at u6. NOTE
+    # the tile-tool protocol reads ~7-9% under the stage-tool's trace
+    # scanner (0.2776-0.2802 vs 0.3008 same day) -- a stable cross-tool
+    # offset; compare within one tool only:
     trace_rows16_s=0.2802,
     # tools/vpu_probe.py, 2026-08-20:
     fma_dep_ns=13.393, fma_ind8_ns=0.490, div_extra_ns=11.624,
@@ -246,7 +255,9 @@ def report():
       f"r/m/w): ~{bhbm*1e3:.1f} ms -> ~{bhbm/M['bin_s']*100:.0f}% of "
       f"bandwidth roofline. The gap is XLA's scatter-add ordering; the "
       f"dense (pure-reduction) and one-hot-MXU deposits both measured "
-      f"WORSE at this scale (r2/r3 A/Bs). 12% of the call; no lever.")
+      f"WORSE at this scale (r2/r3 A/Bs, re-confirmed r5: matmul 707 vs "
+      f"scatter 548 ms full). {M['bin_s']/M['full_s']*100:.0f}% of the "
+      f"call; no lever.")
 
     # ---- seeded flagship workload ----------------------------------------
     p("")
@@ -309,14 +320,17 @@ def report():
     p("== WHOLE CALL (scale16 sync) ==")
     rest = M["full_s"] - M["trace_s"] - M["post_s"]
     p(f"measured full {M['full_s']:.3f} s = trace {M['trace_s']:.3f} + "
-      f"amplify+bin {M['post_s']:.3f} + other {rest:.3f}; with the "
-      f"2-chain tiles the trace share drops ~55 ms.")
-    p("Single-chip ceiling from the measured floors: trace 0.28 (2-chain"
-      ", all residual factors measured-closed) + amplify 0.139 (gather-"
-      "engine-bound) + bin 0.076 (scatter-bound) ~= 0.50 s compute; the "
-      "remaining route to large factors is ray-sharded multi-chip "
-      "(parallel/sharding.py), which is correctness-proven and now has "
-      "the same split-upload overlap as single-chip.")
+      f"amplify+bin {M['post_s']:.3f} + other {rest:.3f} (r5 run on the "
+      f"current 2-chain-tile kernel; the r4 rows8 kernel measured 0.591 "
+      f"full / 0.360 trace under the same protocol).")
+    p(f"Single-chip ceiling from the measured floors: trace "
+      f"{M['trace_s']:.3f} (2-chain; all residual factors measured-"
+      f"closed incl. the r5 carry-thinned 4-chain A/B) + amplify "
+      f"{M['amplify_s']:.3f} (gather-engine-bound) + bin "
+      f"{M['bin_s']:.3f} (scatter-bound) ~= {M['full_s']:.2f} s "
+      f"compute; the remaining route to large factors is ray-sharded "
+      f"multi-chip (parallel/sharding.py), which is correctness-proven "
+      f"and now has the same split-upload overlap as single-chip.")
     return "\n".join(out)
 
 
