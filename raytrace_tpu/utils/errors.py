@@ -73,3 +73,44 @@ def write_failures(path, failure_code: int, failed_rays: np.ndarray,
                 _write_variable(fid, prefix + "E0", np.asarray(g.E0, np.float32), "float")
             _write_variable(fid, prefix + "gv", np.asarray(g.gv, np.float32), "float")
             _write_variable(fid, prefix + "gv0", np.asarray(g.gv0, np.float32), "float")
+
+
+_KINDS = {"double": np.float64, "float": np.float32, "int": np.int32}
+
+
+def read_failures(path):
+    """Parse a ``Failed_RayTrace_rays.dat`` dump back into
+    ``(failed_rays [n,4], method, N, dz, gains)`` -- the inverse of
+    :func:`write_failures`, closing the failure-repro loop (the reference
+    writes this file for offline analysis, src/RayTraceImage.cpp:140-183,
+    but ships no reader; ``tools/replay_failed_rays.py`` re-traces the
+    rays through the scalar oracle)."""
+    from raytrace_tpu.structures import RayGain
+
+    variables = {}
+    with open(path, "rb") as fid:
+        while True:
+            header = fid.readline()
+            if not header:
+                break
+            name, kind, size = header.decode().strip().rsplit(",", 2)
+            dt = _KINDS[kind]
+            payload = fid.read(int(size) * np.dtype(dt).itemsize)
+            variables[name] = np.frombuffer(payload, dtype=dt).copy()
+
+    rays = variables["rays"].reshape(-1, 4)
+    method = int(variables["method"][0])
+    N = int(variables["N"][0])
+    dz = float(variables["dz"][0])
+    gains = []
+    for i in range(N):
+        p = f"gain[{i}]."
+        if p + "Nx" not in variables:
+            break
+        g = RayGain(
+            x=variables[p + "x"], y=variables[p + "y"], n=variables[p + "n"],
+            g0=variables[p + "g0"],
+            E0=variables.get(p + "E0"),
+            gv=variables[p + "gv"], gv0=variables[p + "gv0"])
+        gains.append(g)
+    return rays, method, N, dz, gains

@@ -130,6 +130,46 @@ def test_failure_path(tmp_path):
     assert dump.exists() and dump.stat().st_size > 0
 
 
+def test_failure_dump_roundtrip_and_replay(tmp_path):
+    """The failed-ray dump is machine-readable and the failure REPRODUCES:
+    read_failures inverts write_failures field-for-field, and re-tracing
+    the captured rays through the scalar oracle re-raises the same error
+    code -- the offline-repro loop the reference's dump exists for
+    (write_failures, src/RayTraceImage.cpp:140-183)."""
+    from raytrace_tpu.ops import oracle
+    from raytrace_tpu.utils.errors import read_failures
+
+    p = synthetic_problem()
+    p.euv_beam.a = p.euv_beam.a + 1500.0
+    dump = tmp_path / "failed.dat"
+    with pytest.raises(RayTraceError):
+        create_image(p, "lax", failed_ray_path=str(dump))
+
+    rays, method, N, dz, gains = read_failures(str(dump))
+    assert method == 1 and N == p.N and dz == float(p.euv_beam.dz)
+    assert rays.shape[1] == 4 and rays.shape[0] >= 1
+    assert len(gains) == p.N
+    for g, src in zip(gains, p.gain):
+        assert (g.Nx, g.Ny, g.Nv) == (src.Nx, src.Ny, src.Nv)
+        np.testing.assert_array_equal(g.n, np.asarray(src.n).reshape(-1))
+        np.testing.assert_array_equal(g.g0, np.asarray(src.g0).reshape(-1))
+    # every captured ray reproduces its failure under the oracle
+    K = gains[1].Nv
+    for x, y, a, b in rays:
+        res = oracle.calc_ray((x, y, a, b), N, dz, gains, None, K, method)
+        assert res.error == -1
+    # and the CLI-style tool drives the same path end-to-end
+    import os as _os
+    import subprocess
+    import sys as _sys
+    r = subprocess.run(
+        [_sys.executable, "tools/replay_failed_rays.py", str(dump)],
+        capture_output=True, text=True, timeout=300,
+        cwd=_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "error -1" in r.stdout
+
+
 def test_limits():
     p = synthetic_problem()
     p.N = 25
