@@ -1062,12 +1062,22 @@ def prepare_pipeline(problem: CreateImageProblem,
                      and problem.N > 1
                      and jnp.dtype(spectrum_dtype) == jnp.float32
                      and K <= 128)
+    # kernel knobs join the key: the compiled pipeline bakes in the
+    # structure/unroll/tile shape it was traced with, so an A/B that
+    # flips pk.KERNEL_STRUCTURE (or the env knobs) mid-process must not
+    # be served a stale pipeline
+    if backend == "pallas":
+        from raytrace_tpu.ops import pallas_kernel as pk
+        kernel_knobs = (pk.KERNEL_STRUCTURE, pk.MERGED_UNROLL, pk.FL_UNROLL,
+                        pk.TILE_ROWS)
+    else:
+        kernel_knobs = None
     cfg_key = (backend, problem.N, float(beam.dz), K, method, use_emis, dims,
                float(scale), str(jnp.dtype(spectrum_dtype)), float(c), chunk,
                dense, bin_deposit, n_chunks, problem.N_start,
                problem.N_parallel, fast_meta, pallas_meta, pack_layout,
                beam_scalars, seed_f0, fused_amplify, split, reorder,
-               reorder_row)
+               reorder_row, kernel_knobs)
     cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                use_emis=use_emis, dims=dims, scale=float(scale),
                spectrum_dtype=spectrum_dtype, c=float(c), dense=dense,

@@ -210,3 +210,25 @@ def test_merged_thin_bitwise_equals_merged(seeded):
              "counts")
     for name, a, bb_ in zip(names, outs["merged"], outs["merged-thin"]):
         assert np.array_equal(a, bb_), f"{name} not bitwise equal"
+
+
+def test_merged_thin_full_pipeline(monkeypatch):
+    """merged-thin through the WHOLE create_image path (the
+    RAYTRACE_KERNEL_STRUCTURE=merged-thin plumbing, not just the raw
+    kernel): image bitwise-equal to the default structure."""
+    from raytrace_tpu.models.ray_tracer import create_image
+    from raytrace_tpu.ops import pallas_kernel as pk
+
+    from raytrace_tpu.models import ray_tracer as rt
+
+    p1 = synthetic_problem(rng=4)
+    img0, ang0 = create_image(p1, "pallas")
+    monkeypatch.setattr(pk, "KERNEL_STRUCTURE", "merged-thin")
+    p2 = synthetic_problem(rng=4)
+    img1, ang1 = create_image(p2, "pallas")
+    # the knob actually took effect: a distinct pipeline was compiled
+    # (the cache key carries the kernel knobs -- a stale-pipeline serve
+    # here would make this test vacuous)
+    assert any("merged-thin" in str(k) for k in rt._PIPELINE_CACHE)
+    assert np.array_equal(np.asarray(img0), np.asarray(img1))
+    assert np.array_equal(np.asarray(ang0), np.asarray(ang1))
