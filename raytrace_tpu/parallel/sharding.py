@@ -331,13 +331,23 @@ def prepare_sharded(problem: CreateImageProblem, mesh: Mesh,
              and trace_bytes <= ray_tracer._SPLIT_MAX_BYTES
              and jax.process_count() == 1
              and os.environ.get("RAYTRACE_NO_SPLIT") != "1")
+    # kernel knobs join the key exactly as in the single-chip
+    # prepare_pipeline: the compiled shard_map pipeline bakes in the
+    # structure/unroll/tile shape it was traced with, and a mid-process
+    # knob flip (the bench_tile_rows-style A/B patching) must not be
+    # served a stale pipeline
+    if backend == "pallas":
+        kernel_knobs = (pk.KERNEL_STRUCTURE, pk.MERGED_UNROLL, pk.FL_UNROLL,
+                        pk.TILE_ROWS)
+    else:
+        kernel_knobs = None
     cfg_key = ("sharded", id(mesh), backend, problem.N, float(beam.dz), K,
                method, use_emis, dims, float(scale),
                str(jnp.dtype(spectrum_dtype)), float(c), chunk, n_chunks,
                bin_deposit,
                problem.N_start, problem.N_parallel, fast_meta, pallas_meta,
                pack_layout, beam_scalars, seed_f0, fused_amplify, reorder,
-               reorder_row, split)
+               reorder_row, split, kernel_knobs)
     cfg = dict(N=problem.N, dz=float(beam.dz), K=K, method=method,
                use_emis=use_emis, dims=dims, scale=float(scale),
                spectrum_dtype=spectrum_dtype, c=float(c), dense=False,

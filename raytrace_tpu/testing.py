@@ -61,13 +61,16 @@ def time_stream_rounds(path, n_units, rounds, consume, salt0=0, scale=None):
     """
     import time
 
-    per_call = []
-    for r in range(rounds):
-        units = perturbed_problems(path, n_units, salt=salt0 + r,
-                                   scale=scale)
-        t0 = time.perf_counter()
-        consume(units)
-        per_call.append((time.perf_counter() - t0) / len(units))
+    # one source of truth: the detailed variant's round-wall accounting IS
+    # this function's contract (round_wall = fill + sum(yields))
+    def make_stream(units):
+        def gen():
+            consume(units)
+            yield None  # single mark at drain end: round wall only
+        return gen()
+
+    per_call, _ = time_stream_detailed(path, n_units, rounds, make_stream,
+                                       salt0=salt0, scale=scale)
     return per_call
 
 
