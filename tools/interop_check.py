@@ -16,7 +16,7 @@ Usage:
 ``--cpu`` forces the JAX side onto the CPU backend (the reference side is
 always CPU); use it when the tunneled TPU is unreachable.
 
-Last verified result (2026-08-17, round 3): PASS for all seven synthetics
+Last verified result (2026-08-20, round 5): PASS for all seven synthetics
 -- ASE, seeded, the full-plane (abs_y mirror off) variants of both, the
 many-segment (N=12) ASE + seeded cases, and the strongly non-uniform
 (power-warped) gain-grid case.
