@@ -41,9 +41,11 @@ class DeviceGain(NamedTuple):
     row-major with cell index ``i + j*Nx`` like the reference.
     """
 
-    x: jax.Array        # [N, Nx]  f32 grid (compare/interp in f32)
-    y: jax.Array        # [N, Ny]  f32
-    cdx: jax.Array      # [N, Nx-1] f32 cell widths x[k]-x[k-1]
+    x: jax.Array        # [N, Nx]  f64 grid (reference keeps x/y double;
+                        # findindex + cell edges must compare in f64)
+    y: jax.Array        # [N, Ny]  f64
+    cdx: jax.Array      # [N, Nx-1] f32 cell widths x[k]-x[k-1] (f32 cast
+                        # of the f64 difference -- propagate2's dxc)
     cdy: jax.Array      # [N, Ny-1] f32
     n4: jax.Array       # [N, Nx*Ny] f32 index of refraction (f32 cast of n)
     g0: jax.Array       # [N, Nx*Ny] f32 gain at line center
@@ -135,8 +137,16 @@ def prepare_gain(gains: list[RayGain], as_numpy: bool = False) -> DeviceGain:
 
         xp = grow(x64, nx_max)
         yp = grow(y64, ny_max)
-        xs.append(xp.astype(np.float32))
-        ys.append(yp.astype(np.float32))
+        # x/y stay FLOAT64 like the reference's ray_gain_struct
+        # (RayTraceStructures.h:215-217): the findindex compares and the
+        # cell-edge coordinates must use the f64 grid, or a ray sitting
+        # exactly on a grid line can resolve the tie to the OTHER cell
+        # than the reference/oracle does (caught by the round-5 fuzz:
+        # seeded full-plane rays entering on a shared grid line diverged
+        # 20% through N=7 chaos). cdx/cdy keep the f32-of-f64-difference
+        # form the oracle's propagate2 uses for its step boxes.
+        xs.append(xp)
+        ys.append(yp)
         cdxs.append(np.diff(xp).astype(np.float32))
         cdys.append(np.diff(yp).astype(np.float32))
 

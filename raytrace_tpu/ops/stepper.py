@@ -210,14 +210,18 @@ def _cell_walk(seg_idx: int, gain: DeviceGain, st0: _L0, z_stop: float,
         i3 = (k1 - 1) + k2 * nx_pad
         i4 = k1 + k2 * nx_pad
         n1, n2, n3, n4 = n4t[i1], n4t[i2], n4t[i3], n4t[i4]
+        # f64 cell edges (the grids stay double like the reference's
+        # ray_gain_struct); interpolation fractions computed in f64 and
+        # cast f32 ONCE, exactly like the oracle's
+        # dxi = f32((pos - x2[0]) / (x2[1] - x2[0]))
         xlo = xg[k1 - 1]
         xhi = xg[k1]
         ylo = yg[k2 - 1]
         yhi = yg[k2]
         cdx = cdxg[k1 - 1]
         cdy = cdyg[k2 - 1]
-        dxi = (ray.px - xlo) / cdx
-        dyi = (y_eff - ylo) / cdy
+        dxi = ((ray.px - xlo) / (xhi - xlo)).astype(jnp.float32)
+        dyi = ((y_eff - ylo) / (yhi - ylo)).astype(jnp.float32)
         g0c = bilinear(dxi, dyi, g0t[i1], g0t[i2], g0t[i3], g0t[i4])
         if use_emis:
             E0c = bilinear(dxi, dyi, E0t[i1], E0t[i2], E0t[i3], E0t[i4])
@@ -230,11 +234,14 @@ def _cell_walk(seg_idx: int, gain: DeviceGain, st0: _L0, z_stop: float,
         gx2 = Gxt[(k1 - 1) + k2 * (nx_pad - 1)]
         gy1 = Gyt[(k1 - 1) + (k2 - 1) * nx_pad]
         gy2 = Gyt[k1 + (k2 - 1) * nx_pad]
-        # extended cell range (RayTraceImageHelper.h:492-497)
-        exlo = xlo - f32(0.1) * cdx
-        exhi = xhi + f32(0.1) * cdx
-        eyhi = yhi + f32(0.1) * cdy
-        eylo = jnp.where(absy & (k2 <= 1), -eyhi, ylo - f32(0.1) * cdy)
+        # extended cell range (RayTraceImageHelper.h:492-497): f64
+        # arithmetic, one f32 cast -- the oracle's
+        # cell_range = [f32(x2[0] - 0.1*(x2[1]-x2[0])), ...]
+        exlo = (xlo - 0.1 * (xhi - xlo)).astype(jnp.float32)
+        exhi = (xhi + 0.1 * (xhi - xlo)).astype(jnp.float32)
+        eyhi = (yhi + 0.1 * (yhi - ylo)).astype(jnp.float32)
+        eylo = jnp.where(absy & (k2 <= 1), -eyhi,
+                         (ylo - 0.1 * (yhi - ylo)).astype(jnp.float32))
         dz2 = z_stop - st.z
 
         # ---- L1: walk within the cell (propagate2) ------------------------
@@ -244,8 +251,8 @@ def _cell_walk(seg_idx: int, gain: DeviceGain, st0: _L0, z_stop: float,
         def l1_body(s: _L1):
             act1 = s.act
             y2 = jnp.where(absy, jnp.abs(s.py), s.py)
-            dxi2 = (s.px - xlo) / cdx
-            dyi2 = (y2 - ylo) / cdy
+            dxi2 = ((s.px - xlo) / (xhi - xlo)).astype(jnp.float32)
+            dyi2 = ((y2 - ylo) / (yhi - ylo)).astype(jnp.float32)
             n0 = bilinear(dxi2, dyi2, n1, n2, n3, n4)
             dndx = (f32(1.0) - dyi2) * gx1 + dyi2 * gx2
             dndy = (f32(1.0) - dxi2) * gy1 + dxi2 * gy2

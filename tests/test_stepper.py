@@ -212,6 +212,39 @@ def test_merged_thin_bitwise_equals_merged(seeded):
         assert np.array_equal(a, bb_), f"{name} not bitwise equal"
 
 
+def test_exact_stepper_grid_line_tie():
+    """A ray entering EXACTLY on a gain-grid line must resolve the
+    findindex tie like the oracle/reference (f64 grid compares -- the
+    reference's ray_gain_struct keeps x/y double,
+    RayTraceStructures.h:215-217). Round-5 fuzz regression: the exact
+    stepper's then-f32 device grids flipped the tie to the adjacent
+    cell on a seeded full-plane case and chaos amplified the different
+    step sequence to a 20% image error over N=7 segments."""
+    from raytrace_tpu.testing import physical_gain
+
+    p = synthetic_problem(nx=4, ny=3, na=2, nb=3, nv=4, N=7, seeded=True,
+                          seed_dim=18, full_plane=True, rng=22)
+    physical_gain(p)
+    b = p.euv_beam
+    sb = p.seed_beam
+    # seed grid x[1] coincides exactly with gain grid x[7] = 0.00175 --
+    # the configuration fuzz case 22 (seed 888) diverged on
+    x, y, aa, bb = (np.float32(sb.x[1]), np.float32(sb.y[0]),
+                    np.float32(sb.a[0]), np.float32(sb.b[0]))
+    gain_dev = prepare_gain(p.gain)
+    rays = {k: jnp.asarray(np.array([v], np.float32))
+            for k, v in zip("xyab", (x, y, aa, bb))}
+    res = stepper.trace_batch(rays, p.N, b.dz, gain_dev, 2, use_emis=False)
+    o = oracle.calc_ray((x, y, aa, bb), p.N, b.dz, p.gain, None, b.nv, 2)
+    got = np.asarray(res.gvl)[0][: p.N - 1].ravel()
+    want = o.gvl[: p.N - 1].ravel()
+    denom = np.maximum(np.abs(want), 1e-6)
+    assert np.max(np.abs(got - want) / denom) < 1e-5, (
+        f"max rel {np.max(np.abs(got - want) / denom)}")
+    assert np.array_equal(np.asarray(res.ivl)[0][: p.N - 1].ravel(),
+                          o.ivl[: p.N - 1].ravel())
+
+
 def test_merged_thin_full_pipeline(monkeypatch):
     """merged-thin through the WHOLE create_image path (the
     RAYTRACE_KERNEL_STRUCTURE=merged-thin plumbing, not just the raw
